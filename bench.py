@@ -1,0 +1,66 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set; per-query seconds
+are under ``queries``. Each query is executed to completion via a
+count-style action (the driver's collect happens elsewhere; here we
+want plan execution time, not result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_spark_realtime_spark.plans import registry
+from bigdata_spark_realtime_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries (kept fast + representative; all registered queries
+#: still run in the driver's correctness gate)
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bsr-bench")
+    specs = registry.load_all()
+    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer cache once with the first query
+    specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Registry binding every query to its DuckDB oracle SQL.
+
+The driver contract (``__spark_entry__.py``) requires, per implemented
+operator: a ``queries()`` callable ``(spark, sf_dir) -> DataFrame`` and a
+matching ``oracle_sql()`` ANSI-SQL string for DuckDB over the same
+parquet tables. Column names must match exactly (the comparison sorts
+columns by name and hashes values) — every computed column is aliased
+identically on both sides.
+
+Registration is declarative::
+
+    @register("q1_pricing_summary", oracle="SELECT ...")
+    def q1(spark, sf_dir): ...
+
+Queries whose semantics are not SQL-expressible (custom stateful
+streaming) register with ``oracle=None`` and get the driver's weaker
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+#: plan modules scanned by :func:`load_all` (order = SURVEY §2 order)
+_PLAN_MODULES = (
+    "bigdata_spark_realtime_spark.plans.tpch",
+    "bigdata_spark_realtime_spark.plans.transforms",
+    "bigdata_spark_realtime_spark.plans.scalar_fns",
+    "bigdata_spark_realtime_spark.plans.dedup",
+    "bigdata_spark_realtime_spark.plans.joins",
+    "bigdata_spark_realtime_spark.plans.aggregations",
+    "bigdata_spark_realtime_spark.plans.sort_limit",
+    "bigdata_spark_realtime_spark.plans.serving",
+    "bigdata_spark_realtime_spark.plans.ext_dedup",
+    "bigdata_spark_realtime_spark.plans.ext_similarity",
+    "bigdata_spark_realtime_spark.plans.ext_text",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            if e.name != mod:  # real missing dependency inside the module
+                raise
+    return QUERIES
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in load_all().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+    }

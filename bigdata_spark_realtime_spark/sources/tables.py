@@ -1,0 +1,46 @@
+"""Batch table sources over the driver-generated parquet star schema.
+
+The reference's sources are Kafka topics + Redis dim KV (SURVEY.md §2.1
+S1-S5); for batch queries and the DuckDB-oracle correctness gate the
+engine reads the same logical tables from parquet. Parquet scans get
+predicate pushdown + column pruning from Catalyst for free — the
+reference had to hand-code both (`ia/PublisherMapperImpl.java:117-118`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the ten driver-generated tables (TESTDATA.md / FIXTURES.md Group 1)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so plans can use spark.sql."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
