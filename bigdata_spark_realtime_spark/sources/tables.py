@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: the ten driver-generated tables (TESTDATA.md / FIXTURES.md Group 1)
 TABLE_NAMES = (
@@ -31,7 +32,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as TIMESTAMP(NANOS), which the Spark
+    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos
+    as long (legacy conf, runtime-settable) and truncate to microseconds
+    with exact integer division — the same ns→µs truncation DuckDB
+    applies, so both engines see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
