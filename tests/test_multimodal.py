@@ -1,0 +1,46 @@
+"""Multimodal binary-column plumbing: schemas, batch shapes, determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bigdata_spark_realtime_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_meta,
+    sample_frames,
+)
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+
+def test_media_meta_schema_and_determinism(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(50)
+    meta = extract_media_meta(media)
+    assert [f.name for f in meta.schema] == [
+        "media_id", "kind", "n_bytes", "checksum", "width", "height",
+    ]
+    rows1 = {r.media_id: r for r in meta.collect()}
+    rows2 = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert rows1.keys() == rows2.keys()
+    for k in rows1:
+        assert tuple(rows1[k]) == tuple(rows2[k])
+    # checksum really is md5 of the payload bytes
+    src = {r.media_id: r.payload for r in media.collect()}
+    for mid, row in rows1.items():
+        assert row.checksum == hashlib.md5(bytes(src[mid])).hexdigest()
+        assert row.n_bytes == len(src[mid])
+        assert 64 <= row.width < 128 and 64 <= row.height < 128
+
+
+def test_frame_sampling_one_to_n(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(20)
+    frames = sample_frames(media, every_n_bytes=100)
+    pdf = frames.toPandas()
+    n_bytes = {r.media_id: len(r.payload) for r in media.collect()}
+    counts = pdf.groupby("media_id").size().to_dict()
+    for mid, n in n_bytes.items():
+        assert counts[mid] == max(1, n // 100)
+    # frame indexes are dense from 0
+    for mid, grp in pdf.groupby("media_id"):
+        assert sorted(grp.frame_idx) == list(range(len(grp)))
