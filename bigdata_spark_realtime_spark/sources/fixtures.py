@@ -1,0 +1,237 @@
+"""Deterministic Group-2 fixtures (FIXTURES.md §2.1-2.5).
+
+The driver supplies only the Group-1 star schema; the four reference
+pipelines additionally need their own input shapes (nested log JSON, CDC
+envelopes, order streams, dims). This module generates them — seeded,
+pure-python — as multi-file datasets so a file-based ``readStream`` with
+``maxFilesPerTrigger=1`` replays them as real micro-batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from datetime import datetime, timedelta, timezone
+
+BASE_TS = int(datetime(2024, 3, 1, 22, 0, 0, tzinfo=timezone.utc).timestamp() * 1000)
+PAGES = ["home", "good_detail", "cart", "order", "mine", "search"]
+ITEMS = ["iphone 13", "xiaomi mix", "thinkpad x1", "airpods", "kindle"]
+SKU_NAMES = [
+    "Apple iPhone 13", "Apple iPhone 13 Pro", "Xiaomi Mix Fold", "小米手机 Pro",
+    "ThinkPad X1 Carbon", "Apple AirPods Pro", "Kindle Paperwhite",
+]
+CHANNELS = ["Appstore", "xiaomi", "huawei", "web"]
+
+
+def _fmt_dt(ms: int) -> str:
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def _write_files(path: str, rows: list[str], n_files: int, ext: str = "jsonl") -> None:
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        with open(os.path.join(path, f"part-{i:04d}.{ext}"), "w") as f:
+            f.write("\n".join(chunk))
+
+
+def gen_raw_log(path: str, n_rows: int = 2000, n_files: int = 4, seed: int = 42) -> None:
+    """Nested event-log JSON exercising every base_log branch: ~5% err,
+    ~80% page (30% entry pages), ~20% start; displays 0-6, actions 0-4;
+    mid pool 1/50 of rows and ts spread over 2 days (per-day dups +
+    rollover for the DAU dedup)."""
+    rng = random.Random(seed)
+    mids = [f"mid_{i}" for i in range(max(2, n_rows // 50))]
+    recs: list[dict] = []
+    for i in range(n_rows):
+        ts = BASE_TS + int(rng.random() * 2 * 86400_000)  # 2 calendar days
+        common = {
+            "ar": str(rng.randint(1, 34)),
+            "uid": str(rng.randint(1, 50)),
+            "os": rng.choice(["Android 12", "iOS 16"]),
+            "ch": rng.choice(CHANNELS),
+            "is_new": rng.choice(["0", "1"]),
+            "md": rng.choice(["model-a", "model-b"]),
+            "mid": rng.choice(mids),
+            "vc": "v2.1.134",
+            "ba": rng.choice(["Xiaomi", "Apple", "Huawei"]),
+        }
+        rec: dict = {"common": common, "ts": ts}
+        if rng.random() < 0.05:
+            rec["err"] = {"error_code": rng.randint(1000, 4000), "msg": "boom"}
+        if rng.random() < 0.8:
+            page = {
+                "page_id": rng.choice(PAGES),
+                "item": rng.choice(ITEMS),
+                "item_type": "sku_id",
+                "during_time": rng.randint(1000, 18000),
+                "source_type": rng.choice(["promotion", "query", "recommend"]),
+            }
+            if rng.random() >= 0.3:  # ~30% entry pages (ABSENT key)
+                page["last_page_id"] = rng.choice(PAGES)
+            rec["page"] = page
+            rec["displays"] = [
+                {
+                    "display_type": rng.choice(["promotion", "query"]),
+                    "item": rng.choice(ITEMS),
+                    "item_type": "sku_id",
+                    "order": str(d),
+                    "pos_id": str(rng.randint(1, 5)),
+                }
+                for d in range(rng.randint(0, 6))
+            ]
+            rec["actions"] = [
+                {
+                    "action_id": rng.choice(["cart_add", "favor_add"]),
+                    "item": rng.choice(ITEMS),
+                    "item_type": "sku_id",
+                    "ts": ts + a * 1000,
+                }
+                for a in range(rng.randint(0, 4))
+            ]
+        else:
+            rec["start"] = {
+                "entry": rng.choice(["icon", "notice", "install"]),
+                "loading_time": rng.randint(1000, 15000),
+                "open_ad_id": str(rng.randint(1, 20)),
+                "open_ad_ms": rng.randint(1000, 8000),
+                "open_ad_skip_ms": rng.randint(0, 4000),
+            }
+        recs.append(rec)
+    # arrival ≈ event order (like a real log feed) so streaming replay has
+    # a monotonic watermark; disorder within a file is fine
+    recs.sort(key=lambda r: r["ts"])
+    _write_files(path, [json.dumps(r, ensure_ascii=False) for r in recs], n_files)
+
+
+def gen_cdc(path: str, n_rows: int = 1000, n_files: int = 4, seed: int = 43) -> None:
+    """Maxwell-style CDC envelopes: all op types incl bootstrap-insert and
+    ~2% garbage ops; fact tables, dim tables, and one unlisted table."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        r = rng.random()
+        if r < 0.02:
+            op = "garbage-op"
+        elif r < 0.12:
+            op = "bootstrap-insert"
+        elif r < 0.72:
+            op = "insert"
+        elif r < 0.9:
+            op = "update"
+        else:
+            op = "delete"
+        table = rng.choice(
+            ["order_info", "order_detail", "user_info", "base_province", "unlisted_tbl"]
+        )
+        data = {"id": i, "payload": f"{table}-{i}"}
+        rows.append(json.dumps({"type": op, "table": table, "data": data}))
+    _write_files(path, rows, n_files)
+
+
+def gen_dims(path: str, n_users: int = 60, seed: int = 44) -> None:
+    """user_info + base_province dim tables (JSONL; FIXTURES.md §2.5)."""
+    rng = random.Random(seed)
+    users = [
+        json.dumps(
+            {
+                "id": i,
+                "gender": rng.choice(["F", "M"]),
+                # ages spanning <20 / 20-29 / >=30 against 2024 refs
+                "birthday": f"{rng.randint(1960, 2010)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+            }
+        )
+        for i in range(1, n_users + 1)
+    ]
+    provinces = [
+        json.dumps(
+            {
+                "id": i,
+                "name": f"province_{i}",
+                "iso_code": f"CN-{10 + i}",
+                "iso_3166_2": f"CN-{10 + i}",
+                "area_code": str(100 + i),
+            }
+        )
+        for i in range(1, 35)
+    ]
+    _write_files(os.path.join(path, "user_info"), users, 1)
+    _write_files(os.path.join(path, "base_province"), provinces, 1)
+
+
+def gen_order_streams(
+    path: str, n_orders: int = 300, n_files: int = 5, seed: int = 45
+) -> dict:
+    """order_info + order_detail streams (FIXTURES.md §2.3/2.4) with
+    arrival skew: ~10% of details arrive before their order_info, ~10%
+    arrive much later, and ~1% beyond the 24 h join TTL (planted ids
+    returned for assertions). event_ts drives watermarks; files are
+    ordered by event_ts so replay is realistic."""
+    rng = random.Random(seed)
+    infos, details = [], []
+    ttl_dropped: list[int] = []
+    detail_id = 0
+    for oid in range(1, n_orders + 1):
+        create_ms = BASE_TS + int(rng.random() * 6 * 3600_000)  # 6 h window
+        info_arrival = create_ms + rng.randint(0, 60_000)
+        infos.append(
+            {
+                "id": oid,
+                "province_id": rng.randint(1, 34),
+                "order_status": rng.choice(["1001", "1002", "1003", "1004", "1005"]),
+                "user_id": rng.randint(1, 60),
+                "total_amount": round(rng.uniform(20, 2000), 2),
+                "activity_reduce_amount": round(rng.uniform(0, 50), 2),
+                "coupon_reduce_amount": round(rng.uniform(0, 30), 2),
+                "original_total_amount": round(rng.uniform(20, 2100), 2),
+                "feight_fee": round(rng.uniform(0, 20), 2),
+                "feight_fee_reduce": 0.0,
+                "expire_time": _fmt_dt(create_ms + 1800_000),
+                "refundable_time": _fmt_dt(create_ms + 7 * 86400_000),
+                "operate_time": _fmt_dt(create_ms),
+                "create_time": _fmt_dt(create_ms),
+                "event_ts": info_arrival,
+            }
+        )
+        for _ in range(rng.randint(1, 4)):
+            detail_id += 1
+            r = rng.random()
+            if r < 0.1:  # early: before the info
+                arrival = info_arrival - rng.randint(60_000, 600_000)
+            elif r < 0.2:  # late: a few hours after
+                arrival = info_arrival + rng.randint(3600_000, 5 * 3600_000)
+            elif r < 0.21:  # beyond the 24 h TTL → must be dropped
+                arrival = info_arrival + 25 * 3600_000 + rng.randint(0, 3600_000)
+                ttl_dropped.append(detail_id)
+            else:
+                arrival = info_arrival + rng.randint(0, 120_000)
+            price = round(rng.uniform(10, 900), 2)
+            num = rng.randint(1, 5)
+            details.append(
+                {
+                    "id": detail_id,
+                    "order_id": oid,
+                    "sku_id": rng.randint(1, 200),
+                    "order_price": price,
+                    "sku_num": num,
+                    "sku_name": rng.choice(SKU_NAMES),
+                    "create_time": _fmt_dt(create_ms),
+                    "split_total_amount": round(price * num, 2),
+                    "split_activity_amount": round(rng.uniform(0, 20), 2),
+                    "split_coupon_amount": round(rng.uniform(0, 10), 2),
+                    "event_ts": arrival,
+                }
+            )
+    infos.sort(key=lambda r: r["event_ts"])
+    details.sort(key=lambda r: r["event_ts"])
+    _write_files(
+        os.path.join(path, "order_info"), [json.dumps(r) for r in infos], n_files
+    )
+    _write_files(
+        os.path.join(path, "order_detail"), [json.dumps(r) for r in details], n_files
+    )
+    return {"ttl_dropped_detail_ids": ttl_dropped, "n_details": detail_id}
