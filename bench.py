@@ -29,7 +29,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: headline queries (kept fast + representative; all registered queries
 #: still run in the driver's correctness gate)
 HEADLINE: tuple[str, ...] = (
-    "q1_pricing_summary",
+    "q1_pricing_summary",       # scan→filter→8-agg groupBy
+    "j4_order_wide_join",       # 1:N broadcast join, wide projection
+    "a4_stats_by_item_top100",  # pushed-down match filter + top-K agg
+    "d1_first_seen_dedup",      # window-rank dedup (one shuffle)
+    "serving_dau_realtime",     # dedup + multi-aggregate union
+    "t7_explode_tokens",        # denormalizing explode
+    "ext_dedup_exact",          # md5 hash-groupBy dedup
+    "ext_dedup_minhash_lsh",    # shingle→minhash→band self-join
+    "ext_ann_bruteforce_topk",  # broadcast cross join + rank window
+    "ext_text_quality_score",   # regex/array text features
 )
 
 

@@ -73,19 +73,28 @@ def shingles_sql(tokens_expr: str, w: int = SHINGLE_W) -> str:
 
 # ---------------------------------------------------------------------------
 # MinHash signature (one column / SQL expr per permutation)
+#
+# Two-step on purpose: hash each shingle ONCE (md5 is the expensive part),
+# then apply the K cheap affine permutations over the hash array —
+# K× fewer md5 evaluations than hashing inside each permutation.
+# Duplicate shingles don't affect a minimum, so the hash array is built
+# from the raw (non-distinct) shingle list.
 # ---------------------------------------------------------------------------
 
 
-def minhash(shingles_col: Column, j: int) -> Column:
-    a, b = MINHASH_A[j], MINHASH_B[j]
-    return F.array_min(
-        F.transform(shingles_col, lambda s: (F.lit(a) * (h32(s) % P) + b) % P)
-    )
+def hashed_shingles(shingles_col: Column) -> Column:
+    return F.transform(shingles_col, lambda s: h32(s) % P)
 
 
-def minhash_sql(shingles_expr: str, j: int) -> str:
+def hashed_shingles_sql(shingles_expr: str) -> str:
+    return f"list_transform({shingles_expr}, s -> {h32_sql('s')} % {P})"
+
+
+def minhash(hashes_col: Column, j: int) -> Column:
     a, b = MINHASH_A[j], MINHASH_B[j]
-    return (
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> ({a} * ({h32_sql('s')} % {P}) + {b}) % {P}))"
-    )
+    return F.array_min(F.transform(hashes_col, lambda h: (F.lit(a) * h + b) % P))
+
+
+def minhash_sql(hashes_expr: str, j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return f"list_min(list_transform({hashes_expr}, h -> ({a} * h + {b}) % {P}))"

@@ -67,10 +67,13 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE len(toks) >= {H.SHINGLE_W}
 ),
+hs AS (
+  SELECT doc_id, shingles, {H.hashed_shingles_sql('shingles')} AS hsh FROM sh
+),
 sig AS (
   SELECT doc_id, shingles,
-         {', '.join(f"{H.minhash_sql('shingles', j)} AS m{j}" for j in range(H.K))}
-  FROM sh
+         {', '.join(f"{H.minhash_sql('hsh', j)} AS m{j}" for j in range(H.K))}
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, 0 AS band, m0 * {H.P} + m1 AS k1, m2 * {H.P} + m3 AS k2 FROM sig
@@ -88,49 +91,104 @@ cand AS (
 MINHASH_ORACLE = _SIG_CTE + "SELECT doc_a, doc_b FROM cand"
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, distinct shingle set, K minhash columns m0..m{K-1}."""
+def _shingle_rows(spark: SparkSession, sf_dir: str, w: int = H.SHINGLE_W) -> DataFrame:
+    """(doc_id, shingle) rows via posexplode + window lead.
+
+    Deliberately NOT an array-lambda (`transform(sequence(...), i ->
+    element_at(toks, i+1) ...)`): higher-order functions run interpreted,
+    Catalyst re-inlines `split(text)` into every element_at call (O(n²)
+    per doc), and predicate pushdown duplicates the whole tree into
+    join-key null checks — measured 30 s+ at sf0.1. The explode+lead
+    shape tokenizes once, stays in whole-stage codegen, and its shuffle
+    key (doc_id) is exactly how shingling parallelizes on a cluster."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = docs.where(F.size(toks) >= H.SHINGLE_W).select(
-        "doc_id", F.array_distinct(H.shingles(toks)).alias("shingles")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t0")
     )
-    return sh.select(
-        "doc_id",
-        "shingles",
-        *[H.minhash(F.col("shingles"), j).alias(f"m{j}") for j in range(H.K)],
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t0", i).over(win).alias(f"t{i}") for i in range(1, w)]
+    return (
+        tok.select("doc_id", "t0", *leads)
+        .where(F.col(f"t{w-1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"t{i}" for i in range(w)]).alias("shingle"),
+        )
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → distinct 3-token shingle set (array column, for Jaccard)."""
+    return (
+        _shingle_rows(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + K minhash columns m0..m{K-1}: hash each shingle once
+    (codegen'd md5), reduce to K mins in one partial+final aggregation.
+    Duplicate shingles can't change a minimum, so no distinct needed."""
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", (H.h32(F.col("shingle")) % H.P).alias("h")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(H.MINHASH_A[j]) * F.col("h") + H.MINHASH_B[j]) % H.P).alias(
+                f"m{j}"
+            )
+            for j in range(H.K)
+        ]
     )
 
 
 def _bands(sig: DataFrame) -> DataFrame:
-    b0 = sig.select(
-        "doc_id",
-        F.lit(0).alias("band"),
-        (F.col("m0") * H.P + F.col("m1")).alias("k1"),
-        (F.col("m2") * H.P + F.col("m3")).alias("k2"),
+    """One row per (doc, band): band key packed into two int64s. A single
+    explode over the signature row — no union, so the signature pipeline
+    is evaluated exactly once."""
+    band_structs = F.array(
+        F.struct(
+            F.lit(0).alias("band"),
+            (F.col("m0") * H.P + F.col("m1")).alias("k1"),
+            (F.col("m2") * H.P + F.col("m3")).alias("k2"),
+        ),
+        F.struct(
+            F.lit(1).alias("band"),
+            (F.col("m4") * H.P + F.col("m5")).alias("k1"),
+            (F.col("m6") * H.P + F.col("m7")).alias("k2"),
+        ),
     )
-    b1 = sig.select(
-        "doc_id",
-        F.lit(1).alias("band"),
-        (F.col("m4") * H.P + F.col("m5")).alias("k1"),
-        (F.col("m6") * H.P + F.col("m7")).alias("k2"),
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.k1", "b.k2"
     )
-    return b0.unionByName(b1)
 
 
 def _candidates(sig: DataFrame) -> DataFrame:
-    bands = _bands(sig)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    """Bucket-local pair generation instead of a self-join: group by band
+    bucket, emit doc_id pairs inside each bucket. One shuffle on the
+    bucket key; bucket sizes are tiny by LSH design, so the in-bucket
+    product is bounded — the shape that survives 100 TB."""
+    buckets = (
+        _bands(sig)
+        .groupBy("band", "k1", "k2")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.k1") == F.col("b.k1"))
-            & (F.col("a.k2") == F.col("b.k2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -166,9 +224,8 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard over the LSH candidates (candidate
     generation is sub-quadratic; exact verification touches only
     |candidates| pairs)."""
-    sig = _signatures(spark, sf_dir).cache()
-    sh = sig.select("doc_id", "shingles")
-    cand = _candidates(sig)
+    sh = _shingle_sets(spark, sf_dir)
+    cand = _candidates(_signatures(spark, sf_dir))
     s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
