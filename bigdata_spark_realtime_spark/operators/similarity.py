@@ -1,0 +1,96 @@
+"""IVF approximate-nearest-neighbor search over embedding columns.
+
+The scale path for similarity search at 100 TB: a KMeans coarse
+quantizer (pyspark.ml, trained once) assigns every vector to a cell;
+queries probe only their n_probe nearest cells, so the candidate scan is
+|corpus| * n_probe / n_cells instead of the full corpus. The plans-layer
+`ext_ann_bucketed_topk` demonstrates the same shape with a precomputed
+cell id; this module is the real trained-index variant.
+
+Everything stays DataFrame-native: centroids live in a small broadcast
+DataFrame, distances are zip_with folds, top-k is a rank window — no
+driver-side loops, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_spark_realtime_spark.plans.ext_dedup import cosine
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer and assign every vector to a cell.
+
+    Returns (assigned, centroids): ``assigned`` = emb + `cell` int,
+    ``centroids`` = (cell, centroid array<double>) — small enough to
+    broadcast into every probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(train)
+        .select("vec_id", F.col("prediction").alias("cell"))
+        .join(emb, "vec_id")
+    )
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """queries(query_id, embedding) → top-k neighbors by cosine, scanning
+    only each query's n_probe nearest cells."""
+    q_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("embedding"), F.col("centroid")))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .where(F.col("cell_rank") <= n_probe)
+        .select("query_id", F.col("embedding").alias("q_emb"), "cell")
+    )
+    cand = assigned.select(
+        "cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = q_cells.join(cand, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    ).distinct()  # a neighbor may appear via several probed cells
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

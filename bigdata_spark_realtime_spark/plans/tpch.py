@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.plans.registry import register
-from bigdata_spark_realtime_spark.sources.tables import load_table
+from bigdata_spark_realtime_spark.sources.tables import load_table, load_tables
 
 Q1_ORACLE = """
 SELECT
@@ -64,4 +64,148 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q3_ORACLE = """
+SELECT l.l_orderkey AS order_id,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, order_id
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: 3-way join with selective filters on every input →
+    group → top-10 by revenue.
+
+    Scale: all three filters push into their scans; customer (filtered)
+    broadcasts; TakeOrderedAndProject avoids a global sort for the top-10.
+    """
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1999-06-30 00:00:00").cast("timestamp")
+    )
+    li = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "order_id")
+        .limit(10)
+        .select("order_id", "revenue", "order_date", "priority")
+    )
+
+
+Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+ORDER BY revenue DESC, nation
+"""
+
+
+@register("q5_local_supplier_volume", oracle=Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style: 6-way join incl. the correlated supplier-nation
+    condition. Region/nation/customer/supplier broadcast; only the
+    orders⋈lineitem join shuffles."""
+    t = load_tables(spark, sf_dir)
+    r = t["region"].where(F.col("r_name") == "ASIA")
+    n, c, o, li, s = t["nation"], t["customer"], t["orders"], t["lineitem"], t["supplier"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+Q18_QTY = 120
+
+Q18_ORACLE = f"""
+SELECT c.c_name, o.o_orderkey AS order_id,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice AS total_amount,
+       big.sum_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {Q18_QTY}
+) big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, order_id
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customer", oracle=Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style: aggregate → HAVING → join the survivors back to
+    their headers. The HAVING output is tiny, so it broadcasts into the
+    orders join — the aggregation prunes before any wide join."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where(F.col("_raw_qty") > Q18_QTY)
+        .drop("_raw_qty")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").alias("total_amount"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_amount"), "order_id")
+        .limit(100)
     )

@@ -1,0 +1,56 @@
+"""IVF-ANN: probing all cells is exact; partial probing keeps good recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_spark_realtime_spark.operators.similarity import build_ivf_index, ivf_topk
+from bigdata_spark_realtime_spark.plans.ext_dedup import cosine, emb_double
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+N_CELLS, K = 8, 5
+
+
+def _setup(spark, sf_dir):
+    emb = emb_double(load_table(spark, sf_dir, "embeddings"))
+    assigned, centroids = build_ivf_index(emb, n_cells=N_CELLS)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, assigned, centroids, queries
+
+
+def _brute(emb, queries):
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = queries.crossJoin(cand).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("embedding"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def test_full_probe_is_exact(spark, sf_dir):
+    emb, assigned, centroids, queries = _setup(spark, sf_dir)
+    exact = {tuple(r) for r in _brute(emb, queries).collect()}
+    full = {tuple(r) for r in ivf_topk(assigned, centroids, queries, K, n_probe=N_CELLS).collect()}
+    assert full == exact
+
+
+def test_partial_probe_recall(spark, sf_dir):
+    emb, assigned, centroids, queries = _setup(spark, sf_dir)
+    exact = {(r.query_id, r.neighbor_id) for r in _brute(emb, queries).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(assigned, centroids, queries, K, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@{K}={recall:.2f}"
+    # and the candidate scan really was restricted: fewer pairs than brute force
+    assert len(approx) <= len(exact)
