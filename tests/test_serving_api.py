@@ -1,0 +1,83 @@
+"""ServingAPI — the three REST endpoint shapes over real pipeline output."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_spark_realtime_spark import schemas as S
+from bigdata_spark_realtime_spark.serving import ServingAPI
+from bigdata_spark_realtime_spark.sources import fixtures as FX
+from bigdata_spark_realtime_spark.streaming.base_log import split_base_log
+from bigdata_spark_realtime_spark.streaming.dau import build_dau
+from bigdata_spark_realtime_spark.streaming.order import (
+    enrich_order_info,
+    order_wide_join,
+)
+
+TD = "2024-03-02"
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("serving")
+    FX.gen_raw_log(str(d / "raw_log"), n_rows=1500, n_files=2)
+    FX.gen_dims(str(d / "dims"))
+    FX.gen_order_streams(str(d / "orders"), n_orders=250, n_files=2)
+
+    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(str(d / "dims" / "user_info"))
+    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
+        str(d / "dims" / "base_province")
+    )
+    raw = spark.read.format("text").load(str(d / "raw_log"))
+    dau = build_dau(
+        split_base_log(raw)["page"], dim_user, dim_prov, TD, streaming=False
+    )
+
+    info_schema = T.StructType(
+        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    det_schema = T.StructType(
+        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    info = spark.read.schema(info_schema).json(str(d / "orders" / "order_info"))
+    det = spark.read.schema(det_schema).json(str(d / "orders" / "order_detail"))
+    wide = order_wide_join(
+        enrich_order_info(info, dim_user, dim_prov), det, streaming=False
+    )
+    return ServingAPI(dau.cache(), wide.cache())
+
+
+def test_dau_realtime_shape(api):
+    res = api.dau_realtime(TD)
+    assert set(res) == {"dauTotal", "dauTd", "dauYd"}
+    assert res["dauTotal"] == sum(res["dauTd"].values()) > 0
+    assert all(len(hr) == 2 for hr in res["dauTd"])  # zero-padded hours
+    assert res["dauYd"], "previous day populated"
+
+
+def test_stats_by_item_age_and_gender(api):
+    age = api.stats_by_item("Apple iPhone", "2024-03-01", "age")
+    assert age and all(set(r) == {"name", "value"} for r in age)
+    assert {r["name"] for r in age} <= {"20岁以下", "20岁到29岁", "30岁以上"}
+    gender = api.stats_by_item("Apple iPhone", "2024-03-01", "gender")
+    assert {r["name"] for r in gender} <= {"女", "男"}
+    # AND-match semantics: both tokens must hit
+    none = api.stats_by_item("Apple Nonexistent", "2024-03-01", "age")
+    assert none == []
+    with pytest.raises(ValueError):
+        api.stats_by_item("x", "2024-03-01", "bogus")
+
+
+def test_detail_by_item_paging(api):
+    p1 = api.detail_by_item("2024-03-01", "iPhone", page_no=1, page_size=5)
+    p2 = api.detail_by_item("2024-03-01", "iPhone", page_no=2, page_size=5)
+    assert p1["total"] == p2["total"] > 5
+    assert len(p1["detail"]) == 5
+    ids1 = {(r["order_id"], r["detail_id"]) for r in p1["detail"]}
+    ids2 = {(r["order_id"], r["detail_id"]) for r in p2["detail"]}
+    assert not ids1 & ids2, "pages don't overlap"
+    assert all("<em>iPhone</em>" in r["sku_name"] for r in p1["detail"])
