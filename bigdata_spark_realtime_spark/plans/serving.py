@@ -79,7 +79,9 @@ def _dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("serving_dau_realtime", oracle=DAU_REALTIME_ORACLE)
 def serving_dau_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dau = _dau(spark, sf_dir).cache()
+    # three branches over a two-day slice: recompute beats cache
+    # materialization at every scale (the dt filter prunes the scan)
+    dau = _dau(spark, sf_dir)
     total = (
         dau.where(F.col("dt") == TD)
         .agg(F.count(F.lit(1)).alias("ct"))

@@ -57,6 +57,9 @@ def get_spark(
         .master(master)
         # determinism / oracle comparability
         .config("spark.sql.session.timeZone", "UTC")
+        # serving tables partition by the STRING dt column (reference
+        # semantics, `bean/DauInfo.scala:28`); don't re-infer it as DATE
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # shuffle sizing: ~1 partition per core locally; AQE coalesces
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # adaptive execution: coalesce + skew-join + dynamic broadcast

@@ -29,12 +29,31 @@ def upsert_parquet(
     path: str,
     key_cols: Sequence[str],
     seq_col: str,
+    partition_by: str | None = None,
 ) -> None:
     """Idempotent keyed upsert: replayed batches overwrite instead of
     duplicating (doc-id semantics). Winner per key = max(seq_col),
-    ties broken by latest write (batch rows win over existing)."""
+    ties broken by latest write (batch rows win over existing).
+
+    ``partition_by`` (typically 'dt') replicates the reference's
+    index-per-day layout (`gmall_dau_info_$date`) as hive partitions:
+    serving queries with a dt predicate scan only their day, and the
+    merge itself touches only the partitions present in the batch —
+    at 100 TB the rewrite cost is one day, not the table.
+    """
     batch = batch_df.withColumn("__src", F.lit(1))
-    if os.path.exists(path):
+    if partition_by and os.path.exists(path):
+        days = [r[0] for r in batch_df.select(partition_by).distinct().collect()]
+        existing = (
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/{partition_by}={d}" for d in days if
+                       os.path.exists(f"{path}/{partition_by}={d}")])
+            .withColumn("__src", F.lit(0))
+            if any(os.path.exists(f"{path}/{partition_by}={d}") for d in days)
+            else None
+        )
+        merged = existing.unionByName(batch) if existing is not None else batch
+    elif os.path.exists(path):
         existing = spark.read.parquet(path).withColumn("__src", F.lit(0))
         merged = existing.unionByName(batch)
     else:
@@ -45,21 +64,33 @@ def upsert_parquet(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+    if partition_by and os.path.exists(path):
+        # dynamic partition overwrite: only the batch's days are replaced
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        result.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        return
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    result.write.mode("overwrite").parquet(tmp)
+    writer = result.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
 
 
 def foreach_batch_upsert(
-    spark: SparkSession, path: str, key_cols: Sequence[str], seq_col: str
+    spark: SparkSession,
+    path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    partition_by: str | None = None,
 ):
     """foreachBatch hook: ``stream.writeStream.foreachBatch(this)``."""
 
     def _inner(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_parquet(spark, batch_df, path, key_cols, seq_col)
+        upsert_parquet(spark, batch_df, path, key_cols, seq_col, partition_by)
 
     return _inner
