@@ -76,7 +76,7 @@ AGE_REF_DATE = "2024-06-15"
 
 F4_ORACLE = f"""
 SELECT c_custkey,
-       {BIRTHDAY_SQL} AS birthday,
+       CAST({BIRTHDAY_SQL} AS VARCHAR) AS birthday,
        {fns.age_years_sql(f'({BIRTHDAY_SQL})', f"DATE '{AGE_REF_DATE}'")} AS user_age
 FROM customer
 """
@@ -95,7 +95,7 @@ def f4_age_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = F.to_date(F.lit(AGE_REF_DATE))
     return c.select(
         "c_custkey",
-        bday.alias("birthday"),
+        bday.cast("string").alias("birthday"),
         fns.age_years(bday, ref).alias("user_age"),
     )
 
@@ -131,8 +131,8 @@ def f5_f6_key_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F7_ORACLE = """
 SELECT o_orderkey,
-       CAST(o_orderdate AS DATE) AS order_date,
-       CAST(o_orderdate AS DATE) - 1 AS order_date_yd
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(CAST(o_orderdate AS DATE) - 1 AS VARCHAR) AS order_date_yd
 FROM orders
 """
 
@@ -142,7 +142,9 @@ def f7_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     return o.select(
-        "o_orderkey", d.alias("order_date"), F.date_sub(d, 1).alias("order_date_yd")
+        "o_orderkey",
+        d.cast("string").alias("order_date"),
+        F.date_sub(d, 1).cast("string").alias("order_date_yd"),
     )
 
 

@@ -31,7 +31,18 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs every query depends on, so results
+    are correct even under a SparkSession the engine didn't build (the
+    driver's verify harness creates its own): UTC for all date/hour
+    derivations (F1-F3), string partition values for dt-partitioned
+    serving tables."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
