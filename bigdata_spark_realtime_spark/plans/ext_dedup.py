@@ -348,3 +348,77 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(NEARDUP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: 2×16-bit band blocking + exact hamming verify
+# ---------------------------------------------------------------------------
+
+HAMMING_MAX = 3
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH sh AS ({SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+  FROM sh, (SELECT unnest(range(2)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+FROM cand c JOIN sh s1 ON c.doc_a = s1.doc_id JOIN sh s2 ON c.doc_b = s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@register("ext_dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
+def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: a 16-bit half must match exactly
+    (pigeonhole: any pair within hamming 3 of 32 bits shares at least one
+    identical half), then exact hamming distance filters. Same
+    bucket-local pair generation as the MinHash path — no self-join."""
+    sh = ext_dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(65535).alias("key"),
+                    )
+                    for b in range(2)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.b", "bb.key")
+    buckets = (
+        bands.groupBy("b", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .where(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )

@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.sort_limit",
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.sessionize",
+    "bigdata_spark_realtime_spark.plans.olap_extras",
     "bigdata_spark_realtime_spark.plans.serving",
     "bigdata_spark_realtime_spark.plans.ext_dedup",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
