@@ -61,3 +61,63 @@ def test_stream_to_store_to_serving(spark, tmp_path):
         stored.where(F.col("dt") == TD).groupBy("hr").agg(F.count(F.lit(1)).alias("ct"))
     )
     assert {r.hr: r.ct for r in direct.collect()} == res["dauTd"]
+
+
+def test_order_stream_to_store_to_serving(spark, tmp_path):
+    """§3.2 stages 5-10: order streams → stream-stream join →
+    create_date-partitioned store (doc-id = detail_id) → statsByItem /
+    detailByItem served from the store."""
+    from pyspark.sql import types as T
+
+    from bigdata_spark_realtime_spark.streaming.order import (
+        enrich_order_info,
+        order_wide_join,
+    )
+
+    FX.gen_order_streams(str(tmp_path / "orders"), n_orders=200, n_files=3)
+    FX.gen_dims(str(tmp_path / "dims"))
+    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
+        str(tmp_path / "dims" / "user_info")
+    )
+    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
+        str(tmp_path / "dims" / "base_province")
+    )
+    isch = T.StructType(S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())])
+    dsch = T.StructType(S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())])
+    info = (
+        spark.readStream.schema(isch)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "orders" / "order_info"))
+    )
+    det = (
+        spark.readStream.schema(dsch)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "orders" / "order_detail"))
+    )
+    wide = order_wide_join(
+        enrich_order_info(info, dim_user, dim_prov), det, streaming=True
+    )
+    store = str(tmp_path / "order_wide_store")
+    q = (
+        wide.withColumn("event_seq", F.col("detail_id"))
+        .writeStream.foreachBatch(
+            foreach_batch_upsert(
+                spark, store, ["detail_id"], "event_seq", partition_by="create_date"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_o"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stored = spark.read.parquet(store)
+    assert stored.count() == stored.select("detail_id").distinct().count()
+
+    api = ServingAPI(dau=None, order_wide=stored)
+    date = stored.groupBy("create_date").count().orderBy(F.desc("count")).first()[0]
+    stats = api.stats_by_item("Apple", date, "gender")
+    assert stats and {r["name"] for r in stats} <= {"女", "男"}
+    page = api.detail_by_item(date, "iPhone", 1, 10)
+    assert page["total"] >= len(page["detail"]) > 0
+    assert all("<em>iPhone</em>" in r["sku_name"] for r in page["detail"])
