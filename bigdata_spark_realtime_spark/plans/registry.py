@@ -55,6 +55,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_text",
     "bigdata_spark_realtime_spark.plans.ext_multimodal",
+    "bigdata_spark_realtime_spark.plans.ext_asof",
     "bigdata_spark_realtime_spark.plans.streaming_queries",
 )
 
