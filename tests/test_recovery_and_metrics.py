@@ -112,3 +112,54 @@ def test_kafka_builders(spark):
     assert row.topic == "DWD_A_INSERT" and row.key == "k1"
     fixed = with_kafka_payload(df.drop("topic"), "value", topic="DWD_FIXED")
     assert fixed.first().topic == "DWD_FIXED"  # K1 static topic
+
+
+def test_stateful_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state is part of the checkpoint: keys
+    seen before a restart stay deduplicated after it (the reference lost
+    its Redis set on failure and needed a manual ES read-back —
+    `revertState`, `app/dwd_DauApp.scala:209-233`)."""
+    src = str(tmp_path / "ssrc")
+    ckpt = str(tmp_path / "sckpt")
+    out = str(tmp_path / "sout")
+    base_ms = 1_709_000_000_000
+
+    def write(name, rows):
+        _write_file(src, name, rows)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k string, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        deduped = (
+            stream.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+            .withWatermark("event_time", "1 hour")
+            .dropDuplicatesWithinWatermark(["k"])
+            .select("k", "ts")
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write("f0.json", [{"k": "a", "ts": base_ms}, {"k": "b", "ts": base_ms + 1000}])
+    run_once()
+    first = sorted((r.k, r.ts) for r in spark.read.parquet(out).collect())
+    assert [k for k, _ in first] == ["a", "b"]
+
+    # RESTART, then replay a duplicate of 'a' (within the watermark) plus a
+    # new key: recovered state must suppress the duplicate
+    write("f1.json", [{"k": "a", "ts": base_ms + 60_000}, {"k": "c", "ts": base_ms + 61_000}])
+    run_once()
+    rows = sorted((r.k, r.ts) for r in spark.read.parquet(out).collect())
+    ks = [k for k, _ in rows]
+    assert ks == ["a", "b", "c"], rows
+    # and 'a' kept its ORIGINAL timestamp — the first-seen row won
+    assert dict(rows)["a"] == base_ms
