@@ -37,6 +37,24 @@ def _drain_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the driver's events table as a file-source stream (`ts`
+    surfaces as a nanos long under the legacy conf; the file-stream
+    source requires a directory, so the single parquet file is exposed
+    through a symlinked dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"bsr_events_{os.path.basename(os.path.dirname(path))}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
 STREAM_DEDUP_ORACLE = f"""
 SELECT DISTINCT {fns.dt_sql('ts')} AS dt, user_id FROM events
 """
@@ -48,19 +66,7 @@ def stream_dedup_dau_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark keyed by (event-date, user) — the
     DAU dedup state machine — then projected to its deterministic key
     set."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts read as long (nanos)
-    # the file-stream source requires a directory; expose the single
-    # parquet file through a symlinked dir
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"bsr_events_{os.path.basename(os.path.dirname(path))}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
         .withColumn("dt", fns.dt_col("event_time"))
@@ -129,3 +135,59 @@ def stream_base_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FX.gen_raw_log(raw_dir, n_rows=800, n_files=2)
     raw = spark.readStream.format("text").load(raw_dir)
     return _drain_to_memory(split_base_log(raw)["page"], spark)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_GAP_MS = 30 * 60 * 1000
+
+#: sessions closed by a subsequent event (the operator run below uses a
+#: watermark far larger than the fixture's time span, so timeout flushes
+#: never fire and the emitted set is exactly "every session except each
+#: user's final open one" — SQL-expressible, hence oracle-checked even
+#: though the operator itself is custom stateful code)
+STREAM_SESSIONIZE_ORACLE = f"""
+WITH sess AS (
+  SELECT user_id, session_id,
+         count(*) AS n_events,
+         max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+  FROM (
+    SELECT user_id, ts,
+           CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id))
+                      > {_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    )
+  )
+  GROUP BY 1, 2
+)
+SELECT user_id, session_id, n_events, duration_ms
+FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid FROM sess)
+WHERE session_id < max_sid
+"""
+
+
+@register("stream_sessionize_gap", oracle=STREAM_SESSIONIZE_ORACLE)
+def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization
+    with session ordinals via applyInPandasWithState
+    (streaming/sessionize.py). Oracle covers the arrival-closed
+    sessions; the timeout-flush path is exercised in tests."""
+    from bigdata_spark_realtime_spark.streaming.sessionize import sessionize_stream
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "event_time", F.expr("timestamp_micros(ts div 1000)")
+    )
+    # watermark >> fixture span: timeout flushes suppressed for a
+    # deterministic, oracle-checkable emitted set
+    sessions = sessionize_stream(stream, watermark="3650 days")
+    return _drain_to_memory(sessions, spark)
