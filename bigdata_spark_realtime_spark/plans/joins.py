@@ -149,3 +149,77 @@ def j6_semi_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(
         F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi"
     ).select("l_orderkey", "l_partkey", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference join types (SURVEY §2.6 notes the reference has only
+# single-key equi-joins): EXISTS-style semi join on the big fact pair and
+# a NOT-EXISTS anti join — the remaining relational join forms a user of
+# a full engine expects. As-of join lives in plans/ext_asof.py.
+# ---------------------------------------------------------------------------
+
+J7_ORACLE = """
+SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+"""
+
+
+@register("j7_exists_semi_join", oracle=J7_ORACLE)
+def j7_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style EXISTS: orders with at least one lineitem shipped
+    after the order date, counted by priority.
+
+    Scale: left-semi join keeps only the 6-month order slice flowing into
+    the aggregation and never widens rows with lineitem columns; both
+    date filters push into the parquet scans. The semi join shuffles on
+    orderkey once — at cluster scale the same plan holds with the fact
+    pair hash-partitioned on the key."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+J8_ORACLE = """
+SELECT c.c_nationkey AS nation_key, count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+@register("j8_anti_join", oracle=J8_ORACLE)
+def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style NOT EXISTS: positive-balance customers who never
+    ordered, grouped by nation.
+
+    Scale: left-anti join; orders is projected to the single join column
+    before the shuffle, so the anti probe moves keys only."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
