@@ -114,6 +114,86 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stub: a real implementation decodes, resamples pixels and
+    re-encodes (PIL absent here); the fake derives a deterministic
+    width*height-byte thumbnail from the payload via repeated hashing.
+    What IS real: the binary→binary 1:1 mapInPandas shape whose output
+    payload size is bounded by the target dims, not the input — the
+    property a 100 TB resize pipeline relies on for output sizing."""
+    n_out = width * height
+
+    def _thumb(payload: bytes) -> bytes:
+        out = bytearray()
+        block = payload[:64] or b"\x00"
+        while len(out) < n_out:
+            block = hashlib.md5(block).digest()
+            out.extend(block)
+        return bytes(out[:n_out])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": pdf["payload"].map(_thumb),
+                }
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stub: a real implementation runs a vision/audio
+    encoder over decoded pixels; the fake folds the payload bytes into a
+    fixed-dim float vector (byte histogram over `dim` buckets, L2
+    normalized — deterministic, content-sensitive). The real part is the
+    binary → array<float> contract feeding the similarity/ANN operators
+    (operators/similarity.py) unchanged."""
+    import numpy as np
+
+    def _feats(payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * dim
+        hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+        norm = float(np.linalg.norm(hist))
+        return (hist / norm if norm else hist).tolist()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "features": pdf["payload"].map(_feats),
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURES_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat each document's utf-8 bytes as
     an opaque payload (the container has no real media fixtures)."""

@@ -32,3 +32,28 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = extract_media_meta(documents_as_media(docs))
     return meta.select("media_id", "n_bytes", "checksum")
+
+
+@register("ext_multimodal_features")
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → fixed-dim float feature vector (stub encoder) →
+    the same blocked-cosine near-dup operator the embeddings path uses.
+    Rows-only in the gate (the encoder is a deterministic fake; the
+    byte-level fold isn't SQL-expressible) — vector properties and the
+    ANN-contract handoff are asserted in tests/test_multimodal.py."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            2,
+        ).alias("sq_norm"),
+    )

@@ -161,6 +161,127 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_revenue_forecast", oracle=Q6_ORACLE)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style: pure scan-side aggregate, zero joins, zero wide
+    shuffles. All four predicates push into the parquet scan; the global
+    sum reduces partials straight on the map side — the plan a 100 TB
+    what-if revenue scan should produce (scan cost only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q10_ORACLE = """
+SELECT c.c_custkey AS cust_id,
+       c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4
+ORDER BY revenue DESC, cust_id
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: who returned the most value
+    last quarter. The returnflag + date filters prune both fact scans
+    before the one orders⋈lineitem shuffle; customer and nation
+    broadcast; top-20 runs as TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(t["customer"]), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "cust_id")
+        .limit(20)
+        .select("cust_id", "c_name", "revenue", "nation")
+    )
+
+
+Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo-revenue ratio. part is ~1/5 the lineitem
+    row count but carries only (p_partkey, p_type) after pruning, so it
+    broadcasts far beyond the default threshold; the month filter prunes
+    lineitem before the join. One conditional sum, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
 Q18_QTY = 120
 
 Q18_ORACLE = f"""

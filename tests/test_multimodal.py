@@ -44,3 +44,53 @@ def test_frame_sampling_one_to_n(spark, sf_dir):
     # frame indexes are dense from 0
     for mid, grp in pdf.groupby("media_id"):
         assert sorted(grp.frame_idx) == list(range(len(grp)))
+
+
+def test_resize_payload_bounded_and_deterministic(spark, sf_dir):
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_media(media, width=8, height=4).collect()
+    assert all(len(r.payload) == 8 * 4 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # deterministic: same input -> same thumbnail bytes
+    again = {r.media_id: r.payload for r in resize_media(media, 8, 4).collect()}
+    assert {r.media_id: r.payload for r in out} == again
+
+
+def test_extract_features_feeds_ann_contract(spark, sf_dir):
+    import math
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        FEATURE_DIM,
+        documents_as_media,
+        extract_features,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(50)
+    rows = extract_features(media).collect()
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    # L2-normalized (or all-zero for empty payloads)
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r.features))
+        assert n == 0.0 or abs(n - 1.0) < 1e-5
+    # the array<float> output slots into the blocked-cosine near-dup
+    # operator exactly like the embeddings table does
+    from bigdata_spark_realtime_spark.operators.vector_ops import (
+        neardup_pairs_blocked,
+    )
+    from pyspark.sql import functions as F
+
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.lit("all").alias("label"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = neardup_pairs_blocked(feats, threshold=0.999)
+    assert pairs.columns == ["vec_a", "vec_b", "cos_sim"]
+    pairs.count()  # executes the applyInPandas path
