@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.aggregations",
     "bigdata_spark_realtime_spark.plans.sort_limit",
     "bigdata_spark_realtime_spark.plans.windows",
+    "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
     "bigdata_spark_realtime_spark.plans.olap_extras",
     "bigdata_spark_realtime_spark.plans.serving",
