@@ -90,3 +90,62 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
         )
     )
+
+
+SESSION_WINDOW_ORACLE = f"""
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTES,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id))
+                    >= {SESSION_GAP_MIN * 60 * 1000}
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+  )
+)
+GROUP BY user_id, sid
+"""
+
+
+@register("session_window_agg", oracle=SESSION_WINDOW_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` aggregation — the built-in, streaming-ready
+    form of gap sessionization (the same groupBy runs under a watermark
+    in Structured Streaming; `streaming/sessionize.py` is the custom-
+    state variant with per-user ordinals that session_window can't
+    express). A session's end is last-event + gap, and a new session
+    opens when an event lands AT or after the previous session's end
+    (the window is [start, end)), hence the oracle's >= on the gap.
+
+    Scale: one shuffle on user_id; Spark merges/expands session windows
+    inside the aggregation — state per live session, not per event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -58,7 +58,9 @@ def enrich_order_info(
     )
 
 
-def order_wide_join(info: DataFrame, detail: DataFrame, streaming: bool) -> DataFrame:
+def order_wide_join(
+    info: DataFrame, detail: DataFrame, streaming: bool, how: str = "inner"
+) -> DataFrame:
     """J4+J5: 1:N inner join on order id within a ±24 h arrival window.
 
     Streaming: watermarks on both sides + the time-range condition let
@@ -66,6 +68,13 @@ def order_wide_join(info: DataFrame, detail: DataFrame, streaming: bool) -> Data
     without the range condition the state store would grow forever (the
     silent killer at 100 TB).
     Batch: the identical expression evaluates as a plain range join.
+
+    ``how="left_outer"`` is a beyond-reference upgrade the reference's
+    Redis cache could not express: orphaned details (no header within
+    the TTL) still emit — exactly once, with null header columns — when
+    the watermark proves no match can arrive. The reference silently
+    dropped them; an outer row per orphan is what a data-quality monitor
+    needs at scale.
     """
     i = info.withColumn("info_time", F.timestamp_millis("event_ts"))
     d = detail.withColumn("detail_time", F.timestamp_millis("event_ts"))
@@ -77,7 +86,7 @@ def order_wide_join(info: DataFrame, detail: DataFrame, streaming: bool) -> Data
         & (d.detail_time >= i.info_time - F.expr(f"INTERVAL {JOIN_TTL_HOURS} HOURS"))
         & (d.detail_time <= i.info_time + F.expr(f"INTERVAL {JOIN_TTL_HOURS} HOURS"))
     )
-    joined = d.join(i, cond, "inner")
+    joined = d.join(i, cond, how)
     # J5 column-union merge (`bean/OrderWide.scala:40-58`): detail wins on
     # create_time (copied last); order_id ← info.id, detail_id ← detail.id
     return joined.select(

@@ -268,3 +268,96 @@ def test_cdc_routing_stream(spark, fixture_dir):
     assert spark.sql(
         "SELECT count(*) c FROM cdc_facts WHERE topic LIKE '%GARBAGE%' OR topic LIKE '%UNLISTED%'"
     ).first().c == 0
+
+
+def test_order_stream_left_outer_emits_orphans_once(spark, fixture_dir, tmp_path):
+    """Beyond-reference: left-outer stream-stream join. Orphaned details
+    (header missing or outside the ±24 h TTL window) emit exactly once
+    with null header columns — but only after the watermark proves no
+    match can still arrive, which the test forces with far-future
+    sentinel rows on both inputs."""
+    import shutil
+
+    # private copy of the fixture dirs (we append flush sentinels)
+    src = fixture_dir / "orders"
+    work = tmp_path / "orders_outer"
+    shutil.copytree(src, work)
+
+    info_schema = T.StructType(
+        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    det_schema = T.StructType(
+        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    dim_user, dim_prov = _dims(spark, fixture_dir)
+    info_stream = (
+        spark.readStream.schema(info_schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(str(work / "order_info"))
+    )
+    det_stream = (
+        spark.readStream.schema(det_schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(str(work / "order_detail"))
+    )
+    wide = order_wide_join(
+        enrich_order_info(info_stream, dim_user, dim_prov),
+        det_stream,
+        streaming=True,
+        how="left_outer",
+    )
+    q = (
+        wide.writeStream.format("memory")
+        .queryName("order_wide_outer")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+
+    infos = {r["id"]: r for r in _read_jsonl(str(src / "order_info"))}
+    details = _read_jsonl(str(src / "order_detail"))
+    max_ts = max(
+        [r["event_ts"] for r in infos.values()] + [d["event_ts"] for d in details]
+    )
+
+    # two rounds of far-future sentinels: the first advances the
+    # watermark past every real row's TTL horizon, the second forces the
+    # extra micro-batch in which Spark evicts state and emits the nulls
+    for k, bump in ((1, 60), (2, 120)):
+        flush_ts = max_ts + bump * 3600_000
+        (work / "order_info" / f"zz_flush_{k}.json").write_text(
+            json.dumps({"id": -100 - k, "user_id": 1, "province_id": 1,
+                        "create_time": "2030-01-01 00:00:00", "event_ts": flush_ts})
+            + "\n"
+        )
+        (work / "order_detail" / f"zz_flush_{k}.json").write_text(
+            json.dumps({"id": -200 - k, "order_id": -999, "sku_id": 1,
+                        "create_time": "2030-01-01 00:00:00", "event_ts": flush_ts})
+            + "\n"
+        )
+        q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM order_wide_outer WHERE detail_id > 0").collect()
+
+    ttl_ms = 24 * 3600 * 1000
+    matched = {
+        (d["order_id"], d["id"])
+        for d in details
+        if d["order_id"] in infos
+        and abs(d["event_ts"] - infos[d["order_id"]]["event_ts"]) <= ttl_ms
+    }
+    orphan_ids = {d["id"] for d in details} - {did for (_, did) in matched}
+    meta = json.loads((fixture_dir / "meta.json").read_text())
+    assert set(meta["ttl_dropped_detail_ids"]) <= orphan_ids
+
+    inner_pairs = {(r.order_id, r.detail_id) for r in got if r.order_id is not None}
+    null_rows = [r for r in got if r.order_id is None]
+    assert inner_pairs == matched
+    assert {r.detail_id for r in null_rows} == orphan_ids
+    assert len(null_rows) == len(orphan_ids), "each orphan exactly once"
+    # orphan rows carry the detail columns but null header enrichment
+    for r in null_rows[:10]:
+        assert r.sku_name is not None and r.total_amount is None
+        assert r.user_gender is None and r.province_name is None
