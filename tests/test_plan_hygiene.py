@@ -1,0 +1,82 @@
+"""Plan-hygiene gate: the physical plans the 100 TB design depends on.
+
+Correctness is the oracle gate's job; these tests pin the *plan shapes*
+— filters reaching the parquet scan, projections pruning the read
+schema, explicit broadcasts actually broadcasting, top-K compiling to
+TakeOrderedAndProject instead of a global sort — so a refactor that
+silently de-optimizes a query fails CI even though its rows still match.
+"""
+
+import re
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    # formatted explain: executedPlan().toString() truncates the FileScan
+    # node, hiding PushedFilters/ReadSchema
+    df = entry.queries()[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_pruned_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan reads the 7 needed columns, not all 11
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and 1 <= len(m.group(1).split(",")) <= 8, m and m.group(1)
+
+
+def test_q3_broadcasts_and_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+
+
+def test_q6_all_predicates_pushed_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_revenue_forecast")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, frag
+    assert "Join" not in plan
+
+
+def test_q10_selective_filters_reach_both_fact_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_a4_string_contains_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a4_stats_by_item_top100")
+    assert "StringContains" in plan, "match-AND filter must reach the scan"
+
+
+def test_d1_dedup_is_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d1_first_seen_dedup")
+    # formatted explain lists each node twice (tree + detail): count the
+    # numbered detail entries only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # codegen spans only show in the simple plan string (the `*(n)` stage
+    # markers), not formatted mode
+    df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # run THIS plan so AQE finalizes it (count() plans anew)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple, "aggregation must run inside whole-stage codegen"
+
+
+def test_ann_topk_is_rank_window_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_ann_bruteforce_topk")
+    assert "BroadcastNestedLoopJoin" in plan, "query set must broadcast"
+    assert "RunningWindowFunction" in plan or "Window" in plan
