@@ -282,6 +282,87 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q17_ORACLE = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated scalar subquery: lines whose quantity is
+    below half their part's average. Catalyst decorrelates the subquery
+    into one aggregate-then-join pass over lineitem — no per-row rescan
+    (the naive plan is O(n²) at 100 TB). The brand filter shrinks the
+    probe side before the join."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    # the genuinely correlated form: Catalyst's DecorrelateInnerQuery
+    # rewrites it to aggregate-then-join (verify with .explain — one
+    # Aggregate over lineitem, no per-row subquery)
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM q17_lineitem l
+        JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM q17_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 5 AND l.l_quantity <= 25)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 15 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 25 AND l.l_quantity <= 45)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=Q19_ORACLE)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style OR-of-ANDs across both join sides. Catalyst
+    factors the single-side conjuncts out of the disjunction: part gets
+    `p_brand IN (...)` + a size envelope, lineitem gets a quantity
+    envelope — both pushed to the scans — while the exact disjunction
+    evaluates after the (broadcast) join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(15, 35))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(25, 45))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 Q18_QTY = 120
 
 Q18_ORACLE = f"""

@@ -94,3 +94,36 @@ def foreach_batch_upsert(
         upsert_parquet(spark, batch_df, path, key_cols, seq_col, partition_by)
 
     return _inner
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_by: str,
+    value: str,
+    target_files: int = 1,
+) -> int:
+    """Compact one hive partition's small files into ``target_files``.
+
+    A 5 s-trigger upsert stream writes a few files per micro-batch; a
+    day of streaming leaves thousands of small files that degrade every
+    serving scan (footer/open cost dominates). Compaction is the
+    amortizing counterpart: rewrite ONE day's directory — never the
+    table — into scan-sized files, atomically (write aside, swap, so
+    readers never see a half-compacted partition).
+
+    Returns the number of data files after compaction. Run it on closed
+    (previous-day) partitions from any scheduler; concurrent upserts to
+    OTHER partitions are unaffected since only this directory moves.
+    """
+    part_dir = os.path.join(path, f"{partition_by}={value}")
+    if not os.path.exists(part_dir):
+        return 0
+    df = spark.read.parquet(part_dir)
+    tmp = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(part_dir, old)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])

@@ -44,3 +44,33 @@ def test_partitioned_upsert_and_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-03-01" in plan
     assert q.count() == 1
+
+
+def test_compact_partition_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.streaming.sinks import (
+        compact_partition,
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "dau")
+    # simulate many micro-batch upserts -> many small files in one day
+    for batch in range(6):
+        df = spark.range(batch * 10, batch * 10 + 10).select(
+            F.col("id").alias("mid"),
+            F.lit("2024-03-01").alias("dt"),
+            F.col("id").alias("ts"),
+        ).repartition(4)
+        upsert_parquet(spark, df, path, ["dt", "mid"], "ts", partition_by="dt")
+    part_dir = tmp_path / "dau" / "dt=2024-03-01"
+    before = spark.read.option("basePath", path).parquet(str(part_dir)).collect()
+
+    n_files = compact_partition(spark, path, "dt", "2024-03-01", target_files=1)
+    assert n_files == 1
+    after = spark.read.option("basePath", path).parquet(str(part_dir)).collect()
+    assert sorted((r.mid, r.ts) for r in after) == sorted(
+        (r.mid, r.ts) for r in before
+    )
+    # compacting a missing partition is a no-op
+    assert compact_partition(spark, path, "dt", "1999-01-01") == 0
