@@ -191,3 +191,83 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic, oracle-checkable emitted set
     sessions = sessionize_stream(stream, watermark="3650 days")
     return _drain_to_memory(sessions, spark)
+
+
+@register("stream_order_outer_orphans")
+def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The left-outer stream-stream join's orphan channel as a real
+    streaming op: details with no header inside the ±24 h TTL emit
+    exactly once with null header columns after far-future sentinel
+    rows push the watermark past every real row's horizon (same
+    technique as the replay test). Rows-only in the gate — fixture
+    content and watermark math are deterministic, so the orphan count
+    is stable; exact orphan-set semantics are asserted in
+    tests/test_streaming_pipelines.py."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from bigdata_spark_realtime_spark import schemas as S
+    from bigdata_spark_realtime_spark.sources import fixtures as FX
+    from bigdata_spark_realtime_spark.streaming.order import (
+        enrich_order_info,
+        order_wide_join,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
+    if not os.path.exists(os.path.join(base, "orders")):
+        FX.gen_order_streams(os.path.join(base, "orders"), n_orders=150, n_files=3)
+        FX.gen_dims(os.path.join(base, "dims"))
+    work = os.path.join(base, "orders_outer")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(os.path.join(base, "orders"), work)
+
+    rows = []
+    for fn in os.listdir(os.path.join(work, "order_info")):
+        with open(os.path.join(work, "order_info", fn)) as f:
+            rows += [_json.loads(x) for x in f if x.strip()]
+    for fn in os.listdir(os.path.join(work, "order_detail")):
+        with open(os.path.join(work, "order_detail", fn)) as f:
+            rows += [_json.loads(x) for x in f if x.strip()]
+    max_ts = max(r["event_ts"] for r in rows)
+    for k, bump in ((1, 60), (2, 120)):
+        flush = max_ts + bump * 3600_000
+        with open(os.path.join(work, "order_info", f"zz_flush_{k}.json"), "w") as f:
+            f.write(_json.dumps({"id": -100 - k, "user_id": 1, "province_id": 1,
+                                 "create_time": "2030-01-01 00:00:00",
+                                 "event_ts": flush}) + "\n")
+        with open(os.path.join(work, "order_detail", f"zz_flush_{k}.json"), "w") as f:
+            f.write(_json.dumps({"id": -200 - k, "order_id": -999, "sku_id": 1,
+                                 "create_time": "2030-01-01 00:00:00",
+                                 "event_ts": flush}) + "\n")
+
+    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
+        os.path.join(base, "dims", "user_info")
+    )
+    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
+        os.path.join(base, "dims", "base_province")
+    )
+    info_schema = T.StructType(
+        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    det_schema = T.StructType(
+        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    info = spark.readStream.schema(info_schema).option("maxFilesPerTrigger", 2).json(
+        os.path.join(work, "order_info")
+    )
+    det = spark.readStream.schema(det_schema).option("maxFilesPerTrigger", 2).json(
+        os.path.join(work, "order_detail")
+    )
+    wide = order_wide_join(
+        enrich_order_info(info, dim_user, dim_prov), det,
+        streaming=True, how="left_outer",
+    )
+    drained = _drain_to_memory(wide, spark)
+    return (
+        drained.where(F.col("detail_id") > 0)
+        .where(F.col("order_id").isNull())
+        .select("detail_id", "sku_name", "split_total_amount")
+    )
