@@ -130,7 +130,7 @@ def a4_stats_by_item_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         fns.match_all_tokens(F.col("p_name"), A4_ITEM)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("grp"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -2,10 +2,12 @@
 
 The reference's dim joins are per-row Redis GETs inside mapPartitions
 (`app/dwd_DauApp.scala:128-162`) — O(rows) network round-trips. Here
-they are broadcast hash joins: the dim table ships once per executor,
-the probe stays in whole-stage codegen, zero external I/O. The
-stream-stream order join (J4) appears here as its batch-equivalent
-inner join; the stateful streaming twin lives in ``streaming/order.py``.
+they are hash joins: bounded dims (nation, region) carry an explicit
+broadcast hint; sf-proportional dims (customer, filtered part) go
+unhinted so AQE broadcasts them only while they measure small (see
+``plans/hints.py`` for the policy). The stream-stream order join (J4)
+appears here as its batch-equivalent inner join; the stateful streaming
+twin lives in ``streaming/order.py``.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.plans.scalar_fns import (
     AGE_REF_DATE,
@@ -54,8 +57,9 @@ def j1_dim_join_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         gender_col().alias("user_gender"),
         fns.age_years(birthday_col(), F.to_date(F.lit(AGE_REF_DATE))).alias("user_age"),
     )
+    # customer is sf-proportional: unhinted, AQE decides broadcast vs shuffle
     return ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+        cust, ev.user_id == cust.c_custkey, "left"
     ).select("event_id", "user_id", "user_name", "user_gender", "user_age")
 
 
@@ -78,8 +82,8 @@ def j2_dim_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        c.join(broadcast_bounded(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(broadcast_bounded(r), n.n_regionkey == r.r_regionkey, "left")
         .select(
             "c_custkey",
             F.col("n_name").alias("nation_name"),
@@ -146,8 +150,10 @@ WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
 def j6_semi_join_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    # the routing set is a filtered slice of part — sf-proportional, so
+    # unhinted; AQE keeps the semi join broadcast while it measures small
     return li.join(
-        F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi"
+        promo, li.l_partkey == promo.p_partkey, "left_semi"
     ).select("l_orderkey", "l_partkey", "l_extendedprice")
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
@@ -33,8 +34,8 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    joined = c.join(broadcast_bounded(n), c.c_nationkey == n.n_nationkey).join(
+        broadcast_bounded(r), n.n_regionkey == r.r_regionkey
     )
     return joined.rollup(
         F.col("r_name").alias("region"), F.col("n_name").alias("nation")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
 from bigdata_spark_realtime_spark.plans.joins import GENDER_SQL, gender_col
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.plans.scalar_fns import (
@@ -132,9 +133,11 @@ def _wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         gender_col().alias("user_gender"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part and customer are sf-proportional: no hint, AQE promotes the
+        # filtered/pruned sides to broadcast only while they measure small
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "split_total_amount"
@@ -221,7 +224,7 @@ def serving_detail_by_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(
         fns.match_all_tokens(F.col("p_name"), ITEM)
     )
-    filtered = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    filtered = li.join(p, li.l_partkey == p.p_partkey).select(
         F.col("l_orderkey").alias("order_id"),
         F.col("l_linenumber").alias("detail_id"),
         F.col("l_partkey").alias("sku_id"),
@@ -233,7 +236,7 @@ def serving_detail_by_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = filtered.agg(F.count(F.lit(1)).alias("total"))
     return (
-        filtered.crossJoin(F.broadcast(total))
+        filtered.crossJoin(broadcast_bounded(total))  # 1-row aggregate
         .orderBy("order_id", "detail_id")
         .offset((PAGE_NO - 1) * PAGE_SIZE)
         .limit(PAGE_SIZE)

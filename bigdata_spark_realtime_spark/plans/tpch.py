@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table, load_tables
 
@@ -89,8 +90,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: 3-way join with selective filters on every input →
     group → top-10 by revenue.
 
-    Scale: all three filters push into their scans; customer (filtered)
-    broadcasts; TakeOrderedAndProject avoids a global sort for the top-10.
+    Scale: all three filters push into their scans; customer is
+    sf-proportional so it carries NO broadcast hint — AQE promotes the
+    join to broadcast at runtime when the filtered side measures small,
+    and keeps a shuffled join at 100 TB where a forced broadcast would
+    OOM the driver. TakeOrderedAndProject avoids a global sort.
     """
     t = load_tables(spark, sf_dir)
     c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
@@ -102,7 +106,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("order_id"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -137,18 +141,20 @@ ORDER BY revenue DESC, nation
 @register("q5_local_supplier_volume", oracle=Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style: 6-way join incl. the correlated supplier-nation
-    condition. Region/nation/customer/supplier broadcast; only the
-    orders⋈lineitem join shuffles."""
+    condition. Only the genuinely bounded dims (nation=25, region=5)
+    carry explicit broadcast hints; customer and supplier are
+    sf-proportional, so they go unhinted and AQE picks broadcast vs
+    shuffle from their measured size."""
     t = load_tables(spark, sf_dir)
     r = t["region"].where(F.col("r_name") == "ASIA")
     n, c, o, li, s = t["nation"], t["customer"], t["orders"], t["lineitem"], t["supplier"]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast_bounded(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast_bounded(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy(F.col("n_name").alias("nation"))
@@ -218,8 +224,9 @@ LIMIT 20
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-style returned-item report: who returned the most value
     last quarter. The returnflag + date filters prune both fact scans
-    before the one orders⋈lineitem shuffle; customer and nation
-    broadcast; top-20 runs as TakeOrderedAndProject."""
+    before the one orders⋈lineitem shuffle; nation (bounded, 25 rows)
+    broadcasts explicitly, customer is sf-proportional so AQE decides;
+    top-20 runs as TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -228,8 +235,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(t["customer"]), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["customer"], o.o_custkey == F.col("c_custkey"))
+        .join(broadcast_bounded(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("cust_id"),
             F.col("c_name"),
@@ -261,10 +268,11 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 
 @register("q14_promo_revenue", oracle=Q14_ORACLE)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14-style promo-revenue ratio. part is ~1/5 the lineitem
-    row count but carries only (p_partkey, p_type) after pruning, so it
-    broadcasts far beyond the default threshold; the month filter prunes
-    lineitem before the join. One conditional sum, no second pass."""
+    """TPC-H-Q14-style promo-revenue ratio. part is pruned to
+    (p_partkey, p_type) but is still sf-proportional, so it carries no
+    hint — AQE broadcasts the pruned projection while it measures small
+    and shuffles at scale; the month filter prunes lineitem before the
+    join. One conditional sum, no second pass."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -273,7 +281,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
                 "promo_revenue_pct"
@@ -340,7 +348,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors the single-side conjuncts out of the disjunction: part gets
     `p_brand IN (...)` + a size envelope, lineitem gets a quantity
     envelope — both pushed to the scans — while the exact disjunction
-    evaluates after the (broadcast) join."""
+    evaluates after the join (unhinted: part is sf-proportional, AQE
+    picks the strategy from the filtered size)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     branch = (
@@ -352,7 +361,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(25, 45))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(branch)
         .agg(
             F.round(
@@ -384,8 +393,11 @@ LIMIT 100
 @register("q18_large_volume_customer", oracle=Q18_ORACLE)
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-style: aggregate → HAVING → join the survivors back to
-    their headers. The HAVING output is tiny, so it broadcasts into the
-    orders join — the aggregation prunes before any wide join."""
+    their headers. The HAVING output is small *proportionally* but still
+    grows with sf (it is a filtered subset of order keys), so neither it
+    nor customer carries a hint — the aggregation still prunes before
+    any wide join, and AQE broadcasts the survivors while they measure
+    under threshold."""
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"]
@@ -399,8 +411,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             F.col("o_orderkey").alias("order_id"),
