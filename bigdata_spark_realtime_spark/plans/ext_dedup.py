@@ -351,16 +351,18 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs: 2×16-bit band blocking + exact hamming verify
+# SimHash near-dup pairs: 4×8-bit band blocking + exact hamming verify
 # ---------------------------------------------------------------------------
 
 HAMMING_MAX = 3
+SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 flips at most 3 of 4 bands,
+#                    so at least one 8-bit band is bit-identical
 
 SIMHASH_PAIRS_ORACLE = f"""
 WITH sh AS ({SIMHASH_ORACLE}),
 bands AS (
-  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
-  FROM sh, (SELECT unnest(range(2)) AS b)
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS key
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -375,11 +377,21 @@ WHERE bit_count(xor(s1.simhash, s2.simhash)) <= {HAMMING_MAX}
 
 @register("ext_dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
 def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash: a 16-bit half must match exactly
-    (pigeonhole: any pair within hamming 3 of 32 bits shares at least one
-    identical half), then exact hamming distance filters. Same
-    bucket-local pair generation as the MinHash path — no self-join."""
-    sh = ext_dedup_simhash(spark, sf_dir)
+    """Near-dup pairs by SimHash: an 8-bit band must match exactly
+    (pigeonhole: hamming <= 3 over 32 bits flips at most 3 of the 4
+    disjoint bands, so at least one band is identical — the 2-band/16-bit
+    variant only guaranteed recall for hamming <= 1), then exact hamming
+    distance filters. Same bucket-local pair generation as the MinHash
+    path — no self-join."""
+    return simhash_pairs_from(ext_dedup_simhash(spark, sf_dir))
+
+
+def simhash_pairs_from(sh: DataFrame) -> DataFrame:
+    """Band-block + exact-hamming-verify over a (doc_id, simhash) frame.
+
+    Split out so tests can feed synthetic fingerprints and assert the
+    recall contract directly (e.g. a pair differing at bits {0, 16} —
+    dropped by the old 2×16-bit blocking — must be found)."""
     bands = sh.select(
         "doc_id",
         F.explode(
@@ -387,9 +399,9 @@ def ext_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(65535).alias("key"),
+                        F.shiftright("simhash", b * 8).bitwiseAND(255).alias("key"),
                     )
-                    for b in range(2)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),

@@ -33,8 +33,10 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SIZE_RE = re.compile(r"^(-?\d+)\s*([kmgt]?)i?b?$")
-_MULT = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+# 'i' (as in KiB) is only valid after a multiplier letter: '10ib' is
+# malformed, not 10 bytes
+_SIZE_RE = re.compile(r"^(-?\d+)\s*(?:([kmgt])i?)?b?$")
+_MULT = {None: 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
 
 
 def parse_size_bytes(raw: str) -> int:

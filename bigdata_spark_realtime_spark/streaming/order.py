@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
+from bigdata_spark_realtime_spark.plans.hints import (
+    broadcast_bounded,
+    broadcast_if_small,
+)
 
 JOIN_TTL_HOURS = 24
 
@@ -46,8 +50,12 @@ def enrich_order_info(
     create_date = F.split(F.col("create_time"), " ").getItem(0)
     create_hour = F.split(F.split(F.col("create_time"), " ").getItem(1), ":").getItem(0)
     return (
-        info.join(F.broadcast(user), info.user_id == user.u_id, "left")
-        .join(F.broadcast(prov), info.province_id == prov.p_id, "left")
+        # stream-static joins are re-planned per micro-batch without AQE
+        # runtime promotion: the sf-proportional user dim only gets a hint
+        # when its plan-time size estimate clears the broadcast threshold;
+        # the province dim is bounded by the data model (34 provinces)
+        info.join(broadcast_if_small(user), info.user_id == user.u_id, "left")
+        .join(broadcast_bounded(prov), info.province_id == prov.p_id, "left")
         .withColumn("create_date", create_date)
         .withColumn("create_hour", create_hour)
         .withColumn(
