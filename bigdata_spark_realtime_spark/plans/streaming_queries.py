@@ -23,6 +23,29 @@ from bigdata_spark_realtime_spark.functions import scalar as fns
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.streaming.dau import DEDUP_WATERMARK
 
+#: deterministic fixture root shared by the streaming gate queries AND
+#: their DuckDB oracles: each query function generates the fixtures on
+#: first use, and the driver always runs the Spark query before its
+#: oracle, so the oracle's read_json() sees the same files
+FIXTURE_BASE = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
+
+_ORDER_INFO_COLS = (
+    "{'id': 'BIGINT', 'province_id': 'BIGINT', 'order_status': 'VARCHAR', "
+    "'user_id': 'BIGINT', 'total_amount': 'DOUBLE', "
+    "'activity_reduce_amount': 'DOUBLE', 'coupon_reduce_amount': 'DOUBLE', "
+    "'original_total_amount': 'DOUBLE', 'feight_fee': 'DOUBLE', "
+    "'create_time': 'VARCHAR', 'event_ts': 'BIGINT'}"
+)
+_ORDER_DETAIL_COLS = (
+    "{'id': 'BIGINT', 'order_id': 'BIGINT', 'sku_id': 'BIGINT', "
+    "'order_price': 'DOUBLE', 'sku_num': 'BIGINT', 'sku_name': 'VARCHAR', "
+    "'create_time': 'VARCHAR', 'split_total_amount': 'DOUBLE', "
+    "'split_activity_amount': 'DOUBLE', 'split_coupon_amount': 'DOUBLE', "
+    "'event_ts': 'BIGINT'}"
+)
+
+_TTL_MS = 24 * 3600_000
+
 
 def _drain_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:10]}"
@@ -77,32 +100,87 @@ def stream_dedup_dau_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(deduped, spark)
 
 
-@register("stream_order_wide_join")
-def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4/J5 as a real streaming op: Group-2 order streams (generated
-    fixtures — the driver tables have no dual-stream shape) joined
-    stream-stream with 24 h TTL watermarks. Rows-only in the gate;
-    exact-pair semantics asserted in tests."""
-    from pyspark.sql import types as T
+#: the drained stream-stream join is batch-equivalent (SURVEY §5.2): the
+#: watermark range condition is exactly a ±24 h event-time band, so a
+#: DuckDB range join over the same fixture files is a full oracle
+STREAM_WIDE_ORACLE = f"""
+WITH i AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_INFO_COLS})
+),
+d AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
+),
+u AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/dims/user_info/*.jsonl',
+        format='newline_delimited',
+        columns={{'id': 'BIGINT', 'gender': 'VARCHAR', 'birthday': 'VARCHAR'}})
+),
+p AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/dims/base_province/*.jsonl',
+        format='newline_delimited',
+        columns={{'id': 'BIGINT', 'name': 'VARCHAR', 'iso_code': 'VARCHAR',
+                  'iso_3166_2': 'VARCHAR', 'area_code': 'VARCHAR'}})
+),
+ie AS (
+  SELECT i.*,
+         split_part(i.create_time, ' ', 1) AS create_date,
+         split_part(split_part(i.create_time, ' ', 2), ':', 1) AS create_hour,
+         u.gender AS user_gender,
+         {fns.age_years_sql("CAST(u.birthday AS DATE)",
+                            "CAST(split_part(i.create_time, ' ', 1) AS DATE)")} AS user_age,
+         p.name AS province_name, p.iso_code AS province_iso_code,
+         p.iso_3166_2 AS province_3166_2, p.area_code AS province_area_code
+  FROM i LEFT JOIN u ON i.user_id = u.id LEFT JOIN p ON i.province_id = p.id
+)
+SELECT ie.id AS order_id, d.id AS detail_id, ie.province_id, ie.order_status,
+       ie.user_id, ie.total_amount, ie.activity_reduce_amount,
+       ie.coupon_reduce_amount, ie.original_total_amount, ie.feight_fee,
+       d.sku_id, d.order_price, d.sku_num, d.sku_name, d.create_time,
+       d.split_total_amount, d.split_activity_amount, d.split_coupon_amount,
+       ie.create_date, ie.create_hour, ie.user_gender, ie.user_age,
+       ie.province_name, ie.province_iso_code, ie.province_3166_2,
+       ie.province_area_code
+FROM d JOIN ie ON d.order_id = ie.id
+   AND d.event_ts BETWEEN ie.event_ts - {_TTL_MS} AND ie.event_ts + {_TTL_MS}
+"""
 
+
+def _order_fixtures(spark: SparkSession):
+    """Generate (once) and load the shared order-stream fixtures + dims."""
     from bigdata_spark_realtime_spark import schemas as S
     from bigdata_spark_realtime_spark.sources import fixtures as FX
-    from bigdata_spark_realtime_spark.streaming.order import (
-        enrich_order_info,
-        order_wide_join,
-    )
 
-    base = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
+    base = FIXTURE_BASE
     if not os.path.exists(os.path.join(base, "orders")):
         FX.gen_order_streams(os.path.join(base, "orders"), n_orders=150, n_files=3)
+    if not os.path.exists(os.path.join(base, "dims")):
         FX.gen_dims(os.path.join(base, "dims"))
-
     dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
         os.path.join(base, "dims", "user_info")
     )
     dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
         os.path.join(base, "dims", "base_province")
     )
+    return base, dim_user, dim_prov
+
+
+@register("stream_order_wide_join", oracle=STREAM_WIDE_ORACLE)
+def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 as a real streaming op: Group-2 order streams (generated
+    fixtures — the driver tables have no dual-stream shape) joined
+    stream-stream with 24 h TTL watermarks, checked against a DuckDB
+    range-join oracle over the drained sink's input files."""
+    from pyspark.sql import types as T
+
+    from bigdata_spark_realtime_spark import schemas as S
+    from bigdata_spark_realtime_spark.streaming.order import (
+        enrich_order_info,
+        order_wide_join,
+    )
+
+    base, dim_user, dim_prov = _order_fixtures(spark)
     info_schema = T.StructType(
         S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
     )
@@ -121,20 +199,53 @@ def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(wide, spark)
 
 
-@register("stream_base_log_split")
+#: per-branch row counts of the 1→5 multiplex are a full oracle for the
+#: split's routing predicates (branch membership is order-independent)
+STREAM_SPLIT_ORACLE = f"""
+WITH raw AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/raw_log/*.jsonl',
+        format='newline_delimited',
+        columns={{'err': 'JSON', 'page': 'JSON', 'displays': 'JSON[]',
+                  'actions': 'JSON[]', 'start': 'JSON'}})
+)
+SELECT 'err' AS branch, count(*)::BIGINT AS n FROM raw WHERE err IS NOT NULL
+UNION ALL
+SELECT 'page', count(*)::BIGINT FROM raw WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'display', coalesce(sum(len(displays)), 0)::BIGINT FROM raw
+WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'action', coalesce(sum(len(actions)), 0)::BIGINT FROM raw
+WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'start', count(*)::BIGINT FROM raw WHERE err IS NULL AND "start" IS NOT NULL
+"""
+
+
+@register("stream_base_log_split", oracle=STREAM_SPLIT_ORACLE)
 def stream_base_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 multiplex as a real streaming op over the generated raw-log
-    fixture: the page branch of the 1→5 split. Rows-only in the gate;
-    branch-exact counts asserted in tests."""
+    fixture: all five branches of the 1→5 split drained to sinks, gated
+    on per-branch row counts vs a DuckDB filtered-count oracle (the
+    split's routing predicates; exact branch contents are asserted in
+    tests/test_streaming_pipelines.py)."""
+    from functools import reduce
+
     from bigdata_spark_realtime_spark.sources import fixtures as FX
     from bigdata_spark_realtime_spark.streaming.base_log import split_base_log
 
-    base = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
-    raw_dir = os.path.join(base, "raw_log")
+    raw_dir = os.path.join(FIXTURE_BASE, "raw_log")
     if not os.path.exists(raw_dir):
         FX.gen_raw_log(raw_dir, n_rows=800, n_files=2)
     raw = spark.readStream.format("text").load(raw_dir)
-    return _drain_to_memory(split_base_log(raw)["page"], spark)
+    branches = split_base_log(raw)
+    counts = [
+        _drain_to_memory(df, spark)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("branch"), "n")
+        for name, df in branches.items()
+    ]
+    return reduce(DataFrame.unionByName, counts)
 
 
 # ---------------------------------------------------------------------------
@@ -193,32 +304,49 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(sessions, spark)
 
 
-@register("stream_order_outer_orphans")
+#: reference semantics (`app/dwd_OrderApp.scala:166-224`): a detail with
+#: no header within the TTL was silently dropped; the outer-join upgrade
+#: emits it once. NOT EXISTS over the same ±24 h band is the full oracle
+#: (sentinel flush rows are excluded by detail_id > 0 on both sides).
+STREAM_ORPHANS_ORACLE = f"""
+WITH i AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_INFO_COLS})
+),
+d AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
+)
+SELECT d.id AS detail_id, d.sku_name, d.split_total_amount
+FROM d
+WHERE d.id > 0 AND NOT EXISTS (
+  SELECT 1 FROM i
+  WHERE i.id = d.order_id
+    AND d.event_ts BETWEEN i.event_ts - {_TTL_MS} AND i.event_ts + {_TTL_MS}
+)
+"""
+
+
+@register("stream_order_outer_orphans", oracle=STREAM_ORPHANS_ORACLE)
 def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The left-outer stream-stream join's orphan channel as a real
     streaming op: details with no header inside the ±24 h TTL emit
     exactly once with null header columns after far-future sentinel
     rows push the watermark past every real row's horizon (same
-    technique as the replay test). Rows-only in the gate — fixture
-    content and watermark math are deterministic, so the orphan count
-    is stable; exact orphan-set semantics are asserted in
-    tests/test_streaming_pipelines.py."""
+    technique as the replay test). Gated against a DuckDB
+    NOT-EXISTS-within-TTL oracle over the same fixture files."""
     import json as _json
     import shutil
 
     from pyspark.sql import types as T
 
     from bigdata_spark_realtime_spark import schemas as S
-    from bigdata_spark_realtime_spark.sources import fixtures as FX
     from bigdata_spark_realtime_spark.streaming.order import (
         enrich_order_info,
         order_wide_join,
     )
 
-    base = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
-    if not os.path.exists(os.path.join(base, "orders")):
-        FX.gen_order_streams(os.path.join(base, "orders"), n_orders=150, n_files=3)
-        FX.gen_dims(os.path.join(base, "dims"))
+    base, dim_user, dim_prov = _order_fixtures(spark)
     work = os.path.join(base, "orders_outer")
     if os.path.exists(work):
         shutil.rmtree(work)
@@ -243,12 +371,6 @@ def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "create_time": "2030-01-01 00:00:00",
                                  "event_ts": flush}) + "\n")
 
-    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
-        os.path.join(base, "dims", "user_info")
-    )
-    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
-        os.path.join(base, "dims", "base_province")
-    )
     info_schema = T.StructType(
         S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
     )
