@@ -1,0 +1,86 @@
+"""Connected components over a pair graph — the cluster→keeper step that
+turns near-dup *candidate pairs* (MinHash-LSH, SimHash) into an actual
+training-data dedup: every document maps to the minimum doc id of its
+duplicate cluster, and `keeper_id == doc_id` selects the survivors.
+
+Algorithm: BSP label propagation to the component minimum. Each
+iteration every vertex takes the min label over itself and its
+neighbors — one shuffle join + one aggregation per round, converging in
+O(cluster diameter) rounds. Near-dup clusters are shallow by
+construction (a pair needs high similarity, so clusters are dense), so
+a handful of rounds suffices at any corpus size; the loop stops early
+on a converged round and fails loudly if the cap is hit, rather than
+returning a silently-wrong labeling. At the 100 TB design point each
+round is a self-equi-join on vertex id — AQE-sized shuffles, no
+driver-side state beyond the converged flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 25
+) -> DataFrame:
+    """edges(src, dst) undirected → (id, component) with component = min
+    vertex id reachable from `id`. Only vertices appearing in `edges` are
+    returned; callers left-join isolated vertices back (their component
+    is themselves)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym.persist()
+    # localCheckpoint per round: iterative plans grow multiplicatively if
+    # each round's DataFrame keeps the previous round's lineage (planning
+    # itself OOMs near ~15 rounds); truncating to the materialized result
+    # keeps every round's plan constant-size. On a real cluster use
+    # reliable checkpointing if executor loss during the loop matters.
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_rounds):
+            nbr = sym.join(
+                labels.withColumnRenamed("id", "v"), "v"
+            ).select(F.col("u").alias("id"), "component")
+            new_labels = (
+                nbr.unionByName(labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.withColumnRenamed("component", "new_component")
+                .join(labels, "id")
+                .where(F.col("new_component") != F.col("component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    finally:
+        sym.unpersist()
+
+
+def resolve_keepers(
+    all_ids: DataFrame, id_col: str, edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """(id_col, keeper_id) for EVERY row of `all_ids`: min id of the
+    duplicate cluster, or the id itself when it has no near-dups."""
+    comp = connected_components(edges, src, dst)
+    return (
+        all_ids.join(comp, all_ids[id_col] == comp["id"], "left")
+        .select(
+            all_ids[id_col],
+            F.coalesce(comp["component"], all_ids[id_col]).alias("keeper_id"),
+        )
+    )

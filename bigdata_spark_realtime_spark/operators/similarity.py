@@ -83,11 +83,14 @@ def ivf_topk(
     pairs = q_cells.join(cand, "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # no dedup needed: single-assignment IVF cells partition the corpus,
+    # so a neighbor is reachable via exactly one probed cell — a
+    # .distinct() here would burn a full extra shuffle for nothing
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
-    ).distinct()  # a neighbor may appear via several probed cells
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -202,6 +202,46 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cluster → keeper resolution: connected components over the LSH pair
+# graph. THE row-dropping step of a training-data dedup: keep exactly the
+# rows where keeper_id == doc_id.
+# ---------------------------------------------------------------------------
+
+# the oracle computes the same fixpoint as transitive closure: keeper =
+# min doc id reachable in the candidate-pair graph (RECURSIVE applies to
+# the whole WITH clause, so the shared signature CTEs just ride along)
+RESOLVE_ORACLE = _SIG_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+reach(node, reached) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.reached = e.a
+)
+SELECT d.doc_id,
+       coalesce(least(d.doc_id, min(r.reached)), d.doc_id) AS keeper_id
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+GROUP BY d.doc_id
+"""
+
+
+@register("ext_dedup_resolve", oracle=RESOLVE_ORACLE)
+def ext_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, keeper_id) for every document: keeper = min doc id of the
+    MinHash-LSH duplicate cluster (connected components via label
+    propagation, operators/components.py), itself when it has no
+    near-dups. `WHERE keeper_id = doc_id` is the dedup'd corpus."""
+    from bigdata_spark_realtime_spark.operators.components import resolve_keepers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _candidates(_signatures(spark, sf_dir))
+    return resolve_keepers(docs, "doc_id", pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard verification of the LSH candidates
 # ---------------------------------------------------------------------------
 
