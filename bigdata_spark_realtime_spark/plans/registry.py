@@ -72,12 +72,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all() -> dict[str, QuerySpec]:
+    # import errors propagate — a typo'd module name must fail the gate
+    # loudly, not silently shrink the registered query set
     for mod in _PLAN_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            if e.name != mod:  # real missing dependency inside the module
-                raise
+        importlib.import_module(mod)
     return QUERIES
 
 

@@ -65,9 +65,16 @@ def upsert_parquet(
         .drop("__rn", "__src")
     )
     if partition_by and os.path.exists(path):
-        # dynamic partition overwrite: only the batch's days are replaced
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        result.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        # dynamic partition overwrite: only the batch's days are replaced.
+        # Writer-level option, NOT a session conf set — a shared session
+        # must not keep 'dynamic' after the upsert returns (it silently
+        # changes every later overwrite-write's semantics).
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_by)
+            .parquet(path)
+        )
         return
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     writer = result.write.mode("overwrite")
@@ -109,8 +116,12 @@ def compact_partition(
     day of streaming leaves thousands of small files that degrade every
     serving scan (footer/open cost dominates). Compaction is the
     amortizing counterpart: rewrite ONE day's directory — never the
-    table — into scan-sized files, atomically (write aside, swap, so
-    readers never see a half-compacted partition).
+    table — into scan-sized files, write-aside-and-swap. New listings
+    never see both copies or a half-written partition; an in-flight
+    read that listed the old files before the swap can fail with a
+    vanished-file error and must retry (plain parquet has no
+    transaction log — on a real cluster use Delta/Iceberg rewrites for
+    reader-transparent compaction).
 
     Returns the number of data files after compaction. Run it on closed
     (previous-day) partitions from any scheduler; concurrent upserts to
@@ -120,9 +131,13 @@ def compact_partition(
     if not os.path.exists(part_dir):
         return 0
     df = spark.read.parquet(part_dir)
-    tmp = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
+    # temp dirs live BESIDE the table root, never inside it: a
+    # `dt=X.compact-*` sibling inside the root is visible to partition
+    # discovery on the table path and can double-count the day mid-swap.
+    # The only in-root mutation is the rename pair below.
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = f"{part_dir}.old-{uuid.uuid4().hex[:8]}"
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     os.rename(part_dir, old)
     os.rename(tmp, part_dir)
     shutil.rmtree(old)

@@ -1,0 +1,56 @@
+"""Registry gate hygiene: the correctness gate's query set must not be
+able to shrink silently (round-2 judge task #8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_spark_realtime_spark.plans import registry
+
+#: registered queries per plan module — update when adding operators;
+#: a mismatch here means a module stopped registering (import typo,
+#: accidental deletion) and the DRIVER GATE would silently shrink
+EXPECTED_PER_MODULE = {
+    "tpch": 9,
+    "transforms": 6,
+    "scalar_fns": 7,
+    "dedup": 2,
+    "joins": 6,
+    "aggregations": 6,
+    "sort_limit": 3,
+    "windows": 1,
+    "analytic": 6,
+    "sessionize": 3,
+    "olap_extras": 2,
+    "serving": 4,
+    "ext_dedup": 7,
+    "ext_similarity": 2,
+    "ext_text": 4,
+    "ext_multimodal": 2,
+    "ext_asof": 1,
+    "streaming_queries": 5,
+}
+
+
+def test_per_module_registered_query_counts():
+    from collections import Counter
+
+    specs = registry.load_all()
+    got = Counter(s.fn.__module__.rsplit(".", 1)[-1] for s in specs.values())
+    assert dict(got) == EXPECTED_PER_MODULE
+    assert sum(got.values()) == sum(EXPECTED_PER_MODULE.values()) == len(specs)
+
+
+def test_every_plan_module_is_scanned():
+    scanned = {m.rsplit(".", 1)[-1] for m in registry._PLAN_MODULES}
+    assert scanned == set(EXPECTED_PER_MODULE)
+
+
+def test_missing_module_fails_loudly(monkeypatch):
+    monkeypatch.setattr(
+        registry,
+        "_PLAN_MODULES",
+        registry._PLAN_MODULES + ("bigdata_spark_realtime_spark.plans.nope_typo",),
+    )
+    with pytest.raises(ModuleNotFoundError):
+        registry.load_all()
