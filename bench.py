@@ -41,8 +41,12 @@ HEADLINE: tuple[str, ...] = (
     "t7_explode_tokens",        # denormalizing explode
     "ext_dedup_exact",          # md5 hash-groupBy dedup
     "ext_dedup_minhash_lsh",    # shingle→minhash→band self-join
+    "ext_dedup_resolve",        # candidate graph → connected components
+    "ext_dedup_simhash_pairs",  # 4×16-bit band blocking + hamming verify
     "ext_ann_bruteforce_topk",  # broadcast cross join + rank window
+    "ext_ann_bucketed_topk",    # IVF-style cell-local scan
     "ext_text_quality_score",   # regex/array text features
+    "ext_asof_join",            # union-and-window as-of join
 )
 
 

@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint'd frame's storage blocks.
+
+    ``DataFrame.unpersist()`` only touches the cache manager, not the
+    RDD blocks localCheckpoint pinned; reach the checkpointed RDD
+    through the plan's LogicalRDD node and unpersist it directly. Purely
+    an early-release optimization — on failure the blocks simply age out
+    when the loop's frames are garbage collected."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_rounds: int = 25
 ) -> DataFrame:
@@ -61,6 +75,10 @@ def connected_components(
                 .where(F.col("new_component") != F.col("component"))
                 .count()
             )
+            # release the superseded round's checkpointed blocks — without
+            # this up to max_rounds block sets stay pinned in executor
+            # storage for the life of the loop
+            _release_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 return labels

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_spark_realtime_spark.plans.ext_dedup import cosine
 
 
 def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
@@ -64,7 +63,16 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """queries(query_id, embedding) → top-k neighbors by cosine, scanning
-    only each query's n_probe nearest cells."""
+    only each query's n_probe nearest cells.
+
+    PRECONDITION: ``assigned`` must be single-assignment — exactly one
+    cell per vec_id, as ``build_ivf_index`` produces. The scoring path
+    relies on cells partitioning the corpus (a neighbor is reachable via
+    exactly one probed cell, so no (query_id, neighbor_id) dedup is
+    needed). A multi-assigned index (e.g. multi-probe insertion for
+    recall) would yield duplicate pairs that silently consume top-k
+    slots; dedupe on (query_id, neighbor_id) before calling if you
+    build such an index."""
     q_cells = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("dist", _sq_dist(F.col("embedding"), F.col("centroid")))
@@ -77,23 +85,27 @@ def ivf_topk(
         .where(F.col("cell_rank") <= n_probe)
         .select("query_id", F.col("embedding").alias("q_emb"), "cell")
     )
-    cand = assigned.select(
-        "cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    pairs = q_cells.join(cand, "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
     # no dedup needed: single-assignment IVF cells partition the corpus,
     # so a neighbor is reachable via exactly one probed cell — a
-    # .distinct() here would burn a full extra shuffle for nothing
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    # .distinct() here would burn a full extra shuffle for nothing.
+    # Scoring is the vectorized per-cell kernel: queries-probing-a-cell
+    # and the cell's candidates meet in one Arrow batch, one Q @ C.T.
+    # Each cell emits its per-query top-k; a query probes n_probe cells,
+    # so the global window reduces k × n_probe rows per query.
+    from bigdata_spark_realtime_spark.operators.vector_ops import (
+        topk_neighbors_blocked,
+    )
+
+    cell_topk = topk_neighbors_blocked(
+        assigned,
+        q_cells.select("cell", F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")),
+        k,
+        block_col="cell",
+        digits=6,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cell_topk.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )

@@ -59,11 +59,51 @@ def neardup_pairs_blocked(
     )
 
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+        {"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+    )
+
+
+def _topk_rows(
+    qids, c_ids, sims, k: int, digits: int
+) -> pd.DataFrame:
+    """Shared ranking kernel: round FIRST (the comparison key every
+    oracle uses is the rounded value), then per query take k by
+    (-cos_sim, neighbor_id) — exactly row_number() OVER (ORDER BY
+    cos_sim DESC, neighbor_id) on the rounded column."""
+    import numpy as np
+
+    sims = np.round(sims, digits)
+    out = []
+    for row, qid in enumerate(qids):
+        # lexsort keys are last-key-major: neighbor_id breaks sim ties
+        order = np.lexsort((c_ids, -sims[row]))
+        picked = [
+            (int(qid), int(c_ids[j]), float(sims[row, j]))
+            for j in order
+            if c_ids[j] != qid
+        ][:k]
+        out += picked
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+
+
 def topk_neighbors_blocked(
-    emb: DataFrame, queries: DataFrame, k: int, block_col: str = "label"
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    block_col: str = "label",
+    digits: int = 4,
 ) -> DataFrame:
-    """Top-k neighbors per query, scanning only the query's own block:
-    the vectorized twin of operators/similarity.ivf_topk's scoring."""
+    """Top-k neighbors per query, scanning only the query's own block —
+    the vectorized scoring for the IVF/bucketed search paths. Queries
+    and candidates are tagged into one frame so each block is a single
+    Arrow batch: one normalize, one Q @ C.T per block.
+
+    Tie semantics match the SQL oracles bit-for-bit: similarities are
+    rounded to ``digits`` before ranking, ties broken by neighbor_id
+    ascending. When a query belongs to exactly one block (IVF
+    single-assignment) the per-block top-k IS the global top-k."""
     schema = "query_id long, neighbor_id long, cos_sim double"
     q_cells = queries.select(
         block_col, queries["vec_id"].alias("query_id"), "embedding"
@@ -75,25 +115,15 @@ def topk_neighbors_blocked(
         qs = pdf[pdf["is_q"] == 1]
         cs = pdf[pdf["is_q"] == 0]
         if qs.empty or cs.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cos_sim": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+            return _empty_pairs()
         qm = np.stack(qs["embedding"].to_numpy()).astype("float64")
         cm = np.stack(cs["embedding"].to_numpy()).astype("float64")
         qm /= np.linalg.norm(qm, axis=1, keepdims=True)
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
         sims = qm @ cm.T
-        out = []
-        c_ids = cs["vec_id"].to_numpy()
-        for row, qid in enumerate(qs["vec_id"].to_numpy()):
-            order = np.argsort(-sims[row])
-            picked = [
-                (qid, int(c_ids[j]), round(float(sims[row, j]), 4))
-                for j in order
-                if c_ids[j] != qid
-            ][:k]
-            out += picked
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+        return _topk_rows(
+            qs["vec_id"].to_numpy(), cs["vec_id"].to_numpy(), sims, k, digits
+        )
 
     from pyspark.sql import functions as F
 
@@ -108,3 +138,77 @@ def topk_neighbors_blocked(
         )
     )
     return tagged.groupBy(block_col).applyInPandas(score, schema)
+
+
+def topk_neighbors_broadcast(
+    emb: DataFrame, queries_pdf: pd.DataFrame, k: int, digits: int = 4
+) -> DataFrame:
+    """Exact brute-force top-k with a BOUNDED query set shipped to every
+    task as a closure (the rerank shape at 100 TB: the corpus streams
+    through ``mapInPandas`` in Arrow batches, each batch scored against
+    the in-memory query matrix, and only each batch's per-query top-k —
+    k × n_batches × n_queries rows, not |corpus| × n_queries — reaches
+    the final global rank window).
+
+    ``queries_pdf`` must be small (contract: a fixed query set, ≤
+    thousands) — the deliberate exception to the no-driver-data rule,
+    mirroring the broadcast the fold-based plan did JVM-side.
+
+    Per-batch partial top-k is safe because the selection key
+    (rounded -cos_sim, neighbor_id) is total: the global top-k is a
+    subset of the union of batch top-ks."""
+    qids = queries_pdf["vec_id"].to_numpy()
+
+    import numpy as np
+
+    qm = np.stack(queries_pdf["embedding"].to_numpy()).astype("float64")
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qm @ cm.T
+            yield _topk_rows(qids, pdf["vec_id"].to_numpy(), sims, k, digits)
+
+    return emb.select("vec_id", "embedding").mapInPandas(score, schema)
+
+
+def neardup_topk_blocked(
+    emb: DataFrame, k: int, block_col: str = "label", digits: int = 4
+) -> DataFrame:
+    """Global top-k most-similar within-block pairs, vectorized: each
+    block emits only its own top-k (ranked by rounded -cos_sim, vec_a,
+    vec_b — the oracle's ORDER BY), so the global sort sees
+    k × n_blocks rows instead of every pair."""
+    schema = "vec_a long, vec_b long, cos_sim double"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, digits)
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sim_u = sims[iu, ju]
+        order = np.lexsort((ids[ju], ids[iu], -sim_u))[:k]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[order]],
+                "vec_b": ids[ju[order]],
+                "cos_sim": sim_u[order],
+            }
+        )
+
+    return emb.select(block_col, "vec_id", "embedding").groupBy(block_col).applyInPandas(
+        per_cell, schema
+    )

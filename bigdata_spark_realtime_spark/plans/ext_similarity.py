@@ -5,8 +5,13 @@ restricts the scan to the query's coarse cell (here the `label` column —
 in production a KMeans/IVF assignment, see ``operators/similarity.py``)
 — the 100 TB path, since it prunes the candidate set before the shuffle.
 
-All vector math runs JVM-side (zip_with/aggregate fold over
-array<double>), no Python UDF in the hot path.
+Scoring runs through the vectorized numpy kernels in
+``operators/vector_ops.py`` (one Arrow batch → one BLAS matrix product;
+~100× the interpreted zip_with/aggregate fold's throughput per that
+module's measurements). The fold form (plans/ext_dedup.cosine) remains
+the oracle-portable reference; tie semantics — rank by the ROUNDED
+similarity, neighbor_id ascending — are identical on both paths, so the
+hash gate sees the same rows either way.
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_spark_realtime_spark.plans.ext_dedup import cosine, emb_double
+from bigdata_spark_realtime_spark.plans.ext_dedup import emb_double
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
@@ -48,21 +53,21 @@ def _topk(pairs: DataFrame) -> DataFrame:
 
 @register("ext_ann_bruteforce_topk", oracle=BRUTE_ORACLE)
 def ext_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k: broadcast the query set against the full corpus; one
-    pass, partial top-k per partition via the rank window."""
+    """Exact top-k: the bounded query set ships to every task as an
+    in-memory matrix; the corpus streams through mapInPandas, each Arrow
+    batch scored with one Q @ C.T and reduced to its per-query top-k, so
+    only k × n_batches × n_queries rows reach the global rank window.
+    (The N_QUERIES-row driver fetch is the same bounded broadcast the
+    previous fold-based plan did JVM-side.)"""
+    from bigdata_spark_realtime_spark.operators.vector_ops import (
+        topk_neighbors_broadcast,
+    )
+
     emb = emb_double(load_table(spark, sf_dir, "embeddings"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("e_q")
+    queries_pdf = (
+        emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").toPandas()
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_c"))
-    pairs = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("e_q"), F.col("e_c")), 4).alias("cos_sim"),
-        )
-    )
+    pairs = topk_neighbors_broadcast(emb, queries_pdf, TOP_K)
     return _topk(pairs)
 
 
@@ -78,29 +83,14 @@ SELECT query_id, neighbor_id, cos_sim FROM (
 @register("ext_ann_bucketed_topk", oracle=BUCKETED_ORACLE)
 def ext_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style search: only the query's own cell is scanned (cell id =
-    `label`; a trained coarse quantizer at scale). Equi-join on the cell
-    key means Spark shuffles per-cell, never all-pairs."""
+    `label`; a trained coarse quantizer at scale). Each cell is one
+    Arrow batch — one shuffle on the cell key, one matrix product per
+    cell, never all-pairs. Single-assignment cells partition the corpus,
+    so the per-cell top-k IS the global top-k."""
+    from bigdata_spark_realtime_spark.operators.vector_ops import (
+        topk_neighbors_blocked,
+    )
+
     emb = emb_double(load_table(spark, sf_dir, "embeddings"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("label").alias("cell"),
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("e_q"),
-    )
-    c = emb.select(
-        F.col("label").alias("cell_c"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e_c"),
-    )
-    pairs = (
-        c.join(
-            F.broadcast(q),
-            (F.col("cell") == F.col("cell_c"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("e_q"), F.col("e_c")), 4).alias("cos_sim"),
-        )
-    )
-    return _topk(pairs)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    return topk_neighbors_blocked(emb, q, TOP_K, block_col="label")

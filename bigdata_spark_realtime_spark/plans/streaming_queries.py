@@ -24,10 +24,31 @@ from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.streaming.dau import DEDUP_WATERMARK
 
 #: deterministic fixture root shared by the streaming gate queries AND
-#: their DuckDB oracles: each query function generates the fixtures on
-#: first use, and the driver always runs the Spark query before its
-#: oracle, so the oracle's read_json() sees the same files
-FIXTURE_BASE = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures")
+#: their DuckDB oracles. ``ensure_fixtures()`` (called at module import,
+#: i.e. registry load) generates everything idempotently, so evaluation
+#: order — oracle before query, or a fresh environment — can never hit a
+#: read_json file-not-found. The version suffix retires stale fixture
+#: trees whenever generator parameters change.
+FIXTURE_BASE = os.path.join(tempfile.gettempdir(), "bsr_stream_fixtures_v2")
+
+
+def ensure_fixtures() -> str:
+    """Generate (once; seeded, idempotent) every fixture file the
+    streaming gate queries and their oracles read."""
+    from bigdata_spark_realtime_spark.sources import fixtures as FX
+
+    if not os.path.exists(os.path.join(FIXTURE_BASE, "orders")):
+        FX.gen_order_streams(
+            os.path.join(FIXTURE_BASE, "orders"), n_orders=150, n_files=3
+        )
+    if not os.path.exists(os.path.join(FIXTURE_BASE, "dims")):
+        FX.gen_dims(os.path.join(FIXTURE_BASE, "dims"))
+    if not os.path.exists(os.path.join(FIXTURE_BASE, "raw_log")):
+        FX.gen_raw_log(os.path.join(FIXTURE_BASE, "raw_log"), n_rows=800, n_files=2)
+    return FIXTURE_BASE
+
+
+ensure_fixtures()
 
 _ORDER_INFO_COLS = (
     "{'id': 'BIGINT', 'province_id': 'BIGINT', 'order_status': 'VARCHAR', "
@@ -65,11 +86,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces as a nanos long under the legacy conf; the file-stream
     source requires a directory, so the single parquet file is exposed
     through a symlinked dir)."""
+    import hashlib
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    # keyed by the full source path, not just the sf-dir basename — two
+    # datasets sharing a basename must not reuse each other's symlink
     stream_dir = os.path.join(
-        tempfile.gettempdir(), f"bsr_events_{os.path.basename(os.path.dirname(path))}"
+        tempfile.gettempdir(),
+        f"bsr_events_{hashlib.md5(path.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
@@ -148,15 +174,11 @@ FROM d JOIN ie ON d.order_id = ie.id
 
 
 def _order_fixtures(spark: SparkSession):
-    """Generate (once) and load the shared order-stream fixtures + dims."""
+    """Load the shared order-stream fixtures + dims (generated by
+    :func:`ensure_fixtures` at import)."""
     from bigdata_spark_realtime_spark import schemas as S
-    from bigdata_spark_realtime_spark.sources import fixtures as FX
 
-    base = FIXTURE_BASE
-    if not os.path.exists(os.path.join(base, "orders")):
-        FX.gen_order_streams(os.path.join(base, "orders"), n_orders=150, n_files=3)
-    if not os.path.exists(os.path.join(base, "dims")):
-        FX.gen_dims(os.path.join(base, "dims"))
+    base = ensure_fixtures()
     dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
         os.path.join(base, "dims", "user_info")
     )
@@ -231,12 +253,9 @@ def stream_base_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_pipelines.py)."""
     from functools import reduce
 
-    from bigdata_spark_realtime_spark.sources import fixtures as FX
     from bigdata_spark_realtime_spark.streaming.base_log import split_base_log
 
-    raw_dir = os.path.join(FIXTURE_BASE, "raw_log")
-    if not os.path.exists(raw_dir):
-        FX.gen_raw_log(raw_dir, n_rows=800, n_files=2)
+    raw_dir = os.path.join(ensure_fixtures(), "raw_log")
     raw = spark.readStream.format("text").load(raw_dir)
     branches = split_base_log(raw)
     counts = [
