@@ -6,11 +6,15 @@ resize / frame-sample run as Arrow-batched Pandas iterators
 (``mapInPandas``) so each executor processes columnar batches — the
 100 TB path is payload-partitioned, no driver involvement.
 
-The actual pixel/sample decoders (PIL / torchaudio / ffmpeg) are NOT in
-this container. Decode is therefore stubbed: if a real decoder import
-succeeds it is used; otherwise the clearly-marked deterministic fake
-below derives metadata from the raw bytes so the plumbing (schemas,
-batch shapes, UDF signatures, partitioning) is fully real and testable.
+PIL / torchaudio / ffmpeg are NOT in this container, but PNG and WAV
+need only the standard library (zlib / wave): ``operators/media_codec``
+implements a real spec-level decoder for both, so for those formats the
+decode path is genuine — bytes in, pixels/samples out, verified against
+pre-encode ground truth. Formats beyond that (JPEG, MP3, video) would
+need the absent native libs; for payloads that are not recognizable
+media the clearly-marked deterministic fakes below keep the plumbing
+(schemas, batch shapes, UDF signatures, partitioning) real and
+testable.
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from bigdata_spark_realtime_spark.operators import media_codec
 
 #: schema of a decoded-media metadata row
 MEDIA_META_SCHEMA = T.StructType(
@@ -45,19 +51,16 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _decode_dimensions(payload: bytes) -> tuple[int, int]:
-    """STUB DECODER. Real image decoding needs PIL/libjpeg, absent here.
-    Deterministic fake: dimensions derived from the first payload bytes,
-    so tests are stable and the pipeline shape is real."""
-    try:  # pragma: no cover - decoder not present in this container
-        from PIL import Image  # type: ignore
-        import io
-
-        with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height
-    except Exception:
-        if not payload:
-            return 0, 0
-        return 64 + payload[0] % 64, 64 + payload[-1] % 64
+    """PNG payloads decode for REAL (media_codec parses IHDR + verifies
+    chunk CRCs). Non-media payloads (e.g. the documents-as-media
+    adapter's utf-8 text) fall back to the deterministic fake so the
+    plumbing stays testable on any bytes."""
+    if media_codec.is_png(payload):
+        width, height, _channels, _pixels = media_codec.png_decode(payload)
+        return width, height
+    if not payload:
+        return 0, 0
+    return 64 + payload[0] % 64, 64 + payload[-1] % 64
 
 
 def extract_media_meta(media: DataFrame) -> DataFrame:
@@ -86,6 +89,65 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, MEDIA_META_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode: media(media_id, kind, payload binary) → typed
+    metadata + an md5 over the DECODED content (raw pixels for PNG, PCM
+    frames for WAV) — the round-trip proof that the decoder reproduced
+    the exact pre-encode arrays, not just header fields. Unrecognized
+    payloads raise: a decode pipeline that silently passes undecodable
+    bytes downstream is how corrupt shards poison a training set."""
+
+    def _decode(payload: bytes) -> tuple:
+        # 0, not NULL, for fields the modality lacks: keeps every column
+        # solidly integral on both the Spark and oracle sides (nullable
+        # ints round-trip as float NaN through pandas, which hash-drifts)
+        if media_codec.is_png(payload):
+            width, height, channels, pixels = media_codec.png_decode(payload)
+            return (
+                "image", width, height, channels, 0, 0,
+                hashlib.md5(pixels).hexdigest(),
+            )
+        if media_codec.is_wav(payload):
+            n_ch, _sw, rate, n_frames, frames = media_codec.wav_decode(payload)
+            return (
+                "audio", 0, 0, n_ch, rate, n_frames,
+                hashlib.md5(frames).hexdigest(),
+            )
+        raise ValueError(f"undecodable payload (first bytes: {payload[:8]!r})")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": decoded.map(lambda d: d[0]),
+                    "width": decoded.map(lambda d: d[1]).astype("int32"),
+                    "height": decoded.map(lambda d: d[2]).astype("int32"),
+                    "n_channels": decoded.map(lambda d: d[3]).astype("int32"),
+                    "sample_rate": decoded.map(lambda d: d[4]).astype("int32"),
+                    "n_frames": decoded.map(lambda d: d[5]).astype("int64"),
+                    "content_md5": decoded.map(lambda d: d[6]),
+                }
+            )
+
+    return media.mapInPandas(fn, DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
@@ -125,15 +187,28 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize stub: a real implementation decodes, resamples pixels and
-    re-encodes (PIL absent here); the fake derives a deterministic
-    width*height-byte thumbnail from the payload via repeated hashing.
-    What IS real: the binary→binary 1:1 mapInPandas shape whose output
-    payload size is bounded by the target dims, not the input — the
-    property a 100 TB resize pipeline relies on for output sizing."""
+    """Resize: PNG payloads are REALLY resized — decode → nearest-
+    neighbor resample (numpy index grid) → re-encode PNG. Non-media
+    payloads keep the deterministic hash-thumbnail fake so the
+    binary→binary 1:1 mapInPandas shape stays testable on any bytes.
+    Either way the output payload size is bounded by the target dims,
+    not the input — the property a 100 TB resize pipeline relies on
+    for output sizing."""
     n_out = width * height
 
+    def _resize_png(payload: bytes) -> bytes:
+        import numpy as np
+
+        w0, h0, ch, pixels = media_codec.png_decode(payload)
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, ch)
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        out = arr[ys][:, xs]
+        return media_codec.png_encode(out.tobytes(), width, height, ch)
+
     def _thumb(payload: bytes) -> bytes:
+        if media_codec.is_png(payload):
+            return _resize_png(payload)
         out = bytearray()
         block = payload[:64] or b"\x00"
         while len(out) < n_out:
@@ -166,15 +241,22 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature-extraction stub: a real implementation runs a vision/audio
-    encoder over decoded pixels; the fake folds the payload bytes into a
-    fixed-dim float vector (byte histogram over `dim` buckets, L2
-    normalized — deterministic, content-sensitive). The real part is the
-    binary → array<float> contract feeding the similarity/ANN operators
-    (operators/similarity.py) unchanged."""
+    """Feature extraction: recognizable media decode for REAL first —
+    PNG → raw pixels, WAV → PCM frames — then the histogram featurizer
+    runs over the DECODED content (an intensity histogram, the classic
+    pre-neural image descriptor), so two encodings of the same pixels
+    featurize identically. A learned vision/audio encoder would replace
+    the histogram step only; the binary → array<float> contract feeding
+    the similarity/ANN operators (operators/similarity.py) is unchanged.
+    Non-media payloads featurize their raw bytes (deterministic,
+    content-sensitive — the documents-as-media adapter path)."""
     import numpy as np
 
     def _feats(payload: bytes) -> list[float]:
+        if media_codec.is_png(payload):
+            payload = media_codec.png_decode(payload)[3]
+        elif media_codec.is_wav(payload):
+            payload = media_codec.wav_decode(payload)[4]
         arr = np.frombuffer(payload, dtype=np.uint8)
         if arr.size == 0:
             return [0.0] * dim

@@ -1,23 +1,48 @@
-"""Extension operators: multimodal binary-column processing (oracle-checked
-slice).
+"""Extension operators: multimodal binary-column processing.
 
 `ext_multimodal_meta` proves the Arrow binary plumbing end-to-end with an
 exact oracle: utf-8 payload bytes → mapInPandas metadata extraction →
 byte count + md5 checksum, which DuckDB reproduces with
-octet_length/md5 over the same bytes. The decode stubs themselves are
-exercised by unit tests (no oracle — they're deterministic fakes).
+octet_length/md5 over the same bytes.
+
+`ext_multimodal_decode` is the REAL decode gate: seeded fixture PNGs and
+WAVs (sources/fixtures.gen_media) are decoded spec-level on executors
+(operators/media_codec — zlib scanline unfiltering, `wave` PCM framing)
+and must reproduce the PRE-encode pixel/sample arrays bit-for-bit; the
+oracle reads the generator's ground-truth file, so a decoder bug is a
+hard hash mismatch, not a silently-wrong stub.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdata_spark_realtime_spark.operators.multimodal import (
+    decode_media,
     documents_as_media,
     extract_media_meta,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: versioned fixture root shared by the decode query and its oracle;
+#: generated idempotently at module import (registry load), so
+#: evaluation order can never hit a missing file
+MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v1")
+
+
+def ensure_media_fixtures() -> str:
+    from bigdata_spark_realtime_spark.sources.fixtures import gen_media
+
+    if not os.path.exists(os.path.join(MEDIA_BASE, "media_truth.jsonl")):
+        gen_media(MEDIA_BASE)
+    return MEDIA_BASE
+
+
+ensure_media_fixtures()
 
 META_ORACLE = """
 SELECT doc_id AS media_id,
@@ -32,6 +57,26 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = extract_media_meta(documents_as_media(docs))
     return meta.select("media_id", "n_bytes", "checksum")
+
+
+DECODE_ORACLE = f"""
+SELECT media_id, kind, width, height, n_channels, sample_rate, n_frames,
+       content_md5
+FROM read_json('{MEDIA_BASE}/media_truth.jsonl', format='newline_delimited',
+  columns={{'media_id': 'BIGINT', 'kind': 'VARCHAR', 'width': 'INTEGER',
+            'height': 'INTEGER', 'n_channels': 'INTEGER',
+            'sample_rate': 'INTEGER', 'n_frames': 'BIGINT',
+            'content_md5': 'VARCHAR'}})
+"""
+
+
+@register("ext_multimodal_decode", oracle=DECODE_ORACLE)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG/WAV decode on executors vs the generator's pre-encode
+    ground truth: dimensions, channel/frame counts, AND an md5 over the
+    decoded pixel/PCM bytes must all round-trip exactly."""
+    media = spark.read.parquet(os.path.join(ensure_media_fixtures(), "media.parquet"))
+    return decode_media(media)
 
 
 @register("ext_multimodal_features")

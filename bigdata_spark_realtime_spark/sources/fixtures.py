@@ -235,3 +235,83 @@ def gen_order_streams(
         os.path.join(path, "order_detail"), [json.dumps(r) for r in details], n_files
     )
     return {"ttl_dropped_detail_ids": ttl_dropped, "n_details": detail_id}
+
+
+def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) -> None:
+    """Deterministic multimodal fixtures: real PNG and WAV payloads in a
+    parquet `media` table (media_id, kind, payload binary) plus a
+    `media_truth.jsonl` ground truth computed from the PRE-encode raw
+    arrays. The Spark-side decoder (operators/media_codec.py) must
+    round-trip the encoded bytes back to those exact pixels/samples —
+    the oracle reads this file, so a decoder bug is a hash mismatch,
+    not a silently-wrong stub."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.operators.media_codec import (
+        png_encode,
+        wav_encode,
+    )
+
+    rng = random.Random(seed)
+    os.makedirs(path, exist_ok=True)
+    ids, kinds, payloads, truth = [], [], [], []
+
+    for i in range(n_images):
+        width = rng.randint(8, 48)
+        height = rng.randint(8, 40)
+        channels = rng.choice([1, 3, 3, 4])  # grey / RGB (common) / RGBA
+        pixels = bytes(rng.randrange(256) for _ in range(width * height * channels))
+        ids.append(i)
+        kinds.append("image")
+        payloads.append(png_encode(pixels, width, height, channels))
+        truth.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "width": width,
+                "height": height,
+                "n_channels": channels,
+                "sample_rate": 0,
+                "n_frames": 0,
+                "content_md5": hashlib.md5(pixels).hexdigest(),
+            }
+        )
+
+    for j in range(n_audio):
+        mid = n_images + j
+        n_channels = rng.choice([1, 2])
+        samp_width = 2
+        frame_rate = rng.choice([8000, 16000, 44100])
+        n_frames = rng.randint(200, 2000)
+        frames = bytes(
+            rng.randrange(256) for _ in range(n_frames * n_channels * samp_width)
+        )
+        ids.append(mid)
+        kinds.append("audio")
+        payloads.append(wav_encode(frames, n_channels, samp_width, frame_rate))
+        truth.append(
+            {
+                "media_id": mid,
+                "kind": "audio",
+                "width": 0,
+                "height": 0,
+                "n_channels": n_channels,
+                "sample_rate": frame_rate,
+                "n_frames": n_frames,
+                "content_md5": hashlib.md5(frames).hexdigest(),
+            }
+        )
+
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, "media.parquet"))
+    with open(os.path.join(path, "media_truth.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in truth))
