@@ -423,3 +423,451 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_amount"), "order_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Widened TPC-H-style coverage (adapted to the driver schema: no partsupp,
+# no commit/receipt dates — each adaptation is noted on the query)
+# ---------------------------------------------------------------------------
+
+def _cent_sum(col: F.Column) -> F.Column:
+    """Order-independent money sum: round each row to exact integer
+    cents (IEEE product is bit-identical in Spark and DuckDB, and both
+    round halves away from zero for positives), sum as BIGINT — immune
+    to distributed summation order, unlike a double sum that can land on
+    a half-cent rounding boundary."""
+    return F.sum(F.round(col * 100, 0).cast("bigint")) / F.lit(100.0)
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=Q4_ORACLE)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style order-priority check (adapted: the driver schema
+    has no commit/receipt dates, so the EXISTS predicate is "some line
+    shipped after the order date").
+
+    Scale: LEFT SEMI join — the orders side never widens, lineitem is
+    reduced to matching keys before the shuffle; the date filter on
+    orders is pushed to the scan."""
+    o, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(CAST(round(volume * 100, 0) AS BIGINT)) / 100.0, 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+      OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style cross-nation trade volume with the disjunctive
+    two-nation predicate.
+
+    Scale: both nation lookups broadcast (25 rows); the nation-pair
+    filter applies right after each broadcast join, so the expensive
+    lineitem↔orders shuffle join only carries the two nations' rows —
+    at 1000 executors that's the difference between shuffling ~8% of
+    lineitem and all of it."""
+    s, li, o, cu, n = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = broadcast_bounded(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = broadcast_bounded(
+        n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    a, b = Q7_NATIONS
+    sup = s.join(n1, F.col("s_nationkey") == F.col("s_nk")).where(
+        F.col("supp_nation").isin(a, b)
+    )
+    cust = cu.join(n2, F.col("c_nationkey") == F.col("c_nk")).where(
+        F.col("cust_nation").isin(a, b)
+    )
+    li = li.where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    joined = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(_cent_sum(F.col("volume")), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style national market share: one nation's fraction of a
+    region's ECONOMY-part import volume per year.
+
+    Scale: part is filtered to one p_type BEFORE joining (the selective
+    edge of the join graph — Catalyst starts the join tree there);
+    nation/region broadcast; the conditional share is one pass —
+    sum(CASE)/sum, no second aggregation or self-join."""
+    p, li, s, o, cu, n, r = load_tables(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    p = p.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = o.where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    cust_region = cu.join(
+        broadcast_bounded(
+            n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .where(F.col("r_name") == "ASIA")
+            .select(F.col("n_nationkey").alias("c_nk"))
+        ),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        broadcast_bounded(
+            n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "nation")
+    joined = (
+        li.join(broadcast_bounded(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_region, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q9_ORACLE = """
+SELECT nation, o_year,
+       round(sum(CAST(round(amount * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product profit by supplier nation and year
+    (adapted: no partsupp table, so profit is discounted revenue
+    without the supplycost term; part filter is a LIKE on p_name).
+
+    Scale: the LIKE-filtered part set joins first (broadcast if it
+    fits — AQE decides from runtime stats); nation broadcast; one
+    shuffle agg on (nation, year)."""
+    p, li, s, o, n = load_tables(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
+    )
+    p = p.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    joined = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            broadcast_bounded(
+                n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+    )
+    return (
+        joined.select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(_cent_sum(F.col("amount")), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution (adapted: the
+    excluded-order predicate is on o_orderpriority, the schema's stand-in
+    for the spec's comment LIKE filter).
+
+    Scale: the outer join carries only two key columns; count(col)
+    skips the nulls the outer join manufactures, so zero-order
+    customers land in the c_count=0 bucket without a special case. Two
+    shuffles (join + per-customer count); the second agg is on the tiny
+    distinct-count domain."""
+    cu, o = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cu.select("c_custkey")
+        .join(
+            o.where(F.col("o_orderpriority") != "5-LOW").select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: quarterly revenue per supplier, keep
+    the max-revenue supplier(s). Revenue is rounded BEFORE the max
+    comparison on both sides so engine summation order can't split ties.
+
+    Scale: the window-max over an unpartitioned window runs on the
+    aggregated per-supplier frame (|suppliers| rows, single partition is
+    fine there — it's post-reduction); supplier join is key-equi and AQE
+    will broadcast the small aggregated side."""
+    li, s = load_tables(spark, sf_dir, "lineitem", "supplier")
+    from pyspark.sql import Window
+
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                _cent_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    ranked = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    )
+    return (
+        ranked.where(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+Q16_ORACLE = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_cnt", oracle=Q16_ORACLE)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier counts per part group (adapted: the
+    part↔supplier association comes from lineitem — there is no
+    partsupp table — and the excluded-supplier predicate is a low
+    account balance).
+
+    Scale: the exclusion list is a LEFT ANTI join against a small
+    filtered supplier set (broadcastable); part filters cut before the
+    join; count(DISTINCT) runs as the standard two-phase expand+agg."""
+    li, p, s = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    p = p.where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(*Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = s.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(broadcast_bounded(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q22_ORACLE = """
+SELECT n_name AS cntry, count(*) AS numcust,
+       round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("q22_sales_opportunity", oracle=Q22_ORACLE)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style sales opportunity (adapted: grouped by nation —
+    the schema has no phone column to take country codes from):
+    above-average-balance customers who never ordered.
+
+    Scale: the global average collapses to a 1-row frame cross-joined in
+    (broadcast by construction); the never-ordered test is a LEFT ANTI
+    join on the customer key — no correlated per-row subquery survives
+    into the physical plan."""
+    cu, o, n = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            broadcast_bounded(
+                n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cntry"))
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(_cent_sum(F.col("c_acctbal")), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

@@ -59,7 +59,12 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """All tables as a dict, or — when ``names`` are given — exactly
+    those tables as a tuple (``li, s = load_tables(spark, d, "lineitem",
+    "supplier")``)."""
+    if names:
+        return tuple(load_table(spark, sf_dir, n) for n in names)
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 

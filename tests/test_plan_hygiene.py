@@ -85,7 +85,40 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
     assert "*(" in simple, "aggregation must run inside whole-stage codegen"
 
 
-def test_ann_topk_is_rank_window_not_global_sort(spark, sf_dir):
+def test_ann_topk_is_mapinpandas_plus_rank_window(spark, sf_dir):
+    """Brute-force ANN scores via vectorized mapInPandas (corpus streams
+    in Arrow batches against the bounded in-memory query matrix) with a
+    rank window over the pre-reduced per-batch top-ks — no join, no
+    global sort of all pairs."""
     plan = _plan(spark, sf_dir, "ext_ann_bruteforce_topk")
-    assert "BroadcastNestedLoopJoin" in plan, "query set must broadcast"
+    assert "MapInPandas" in plan, "scoring must be the vectorized kernel"
     assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "Join" not in plan, "pair join crept back into the brute-force path"
+
+
+def test_q4_semi_join_never_widens_orders(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_priority_exists")
+    assert "LeftSemi" in plan, "EXISTS must compile to a semi join"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter must reach the scan"
+
+
+def test_q7_nation_pair_filter_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert "In(n_name, [NATION_1,NATION_2])" in plan, (
+        "nation-pair filter must reach the nation scans"
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "ship-date range must reach lineitem"
+
+
+def test_q16_exclusion_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_cnt")
+    assert "LeftAnti" in plan, "NOT IN must compile to an anti join"
+    assert "LessThan(s_acctbal,1000" in plan, "exclusion filter must reach the scan"
+
+
+def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_sales_opportunity")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "the 1-row global average must cross-join in via broadcast"
+    )
+    assert "LeftAnti" in plan, "NOT EXISTS must compile to an anti join"
