@@ -104,6 +104,88 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
+#: the streaming tumbling-window agg is batch-equivalent once every real
+#: window is past the watermark (the sentinel file guarantees that), so
+#: the batch time_bucket aggregation is a full oracle
+STREAM_WINDOW_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL 6 HOURS, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS ct,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_windowed_counts", oracle=STREAM_WINDOW_ORACLE)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W6 as a real streaming op: the events replay aggregated into
+    6-hour event-time tumbling windows behind a 1-hour watermark,
+    append-mode — exactly the batch w6 expression running as a stream.
+    A far-future sentinel file (its own micro-batch, maxFilesPerTrigger)
+    pushes the watermark past every real window so append mode emits
+    them all; sentinel rows are excluded from the returned frame and
+    their own window never finalizes."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    schema = spark.read.parquet(src).schema  # ts read as long (nanos)
+    # key the fixture dir by source identity AND content stamp: the
+    # sentinel's ts depends on the data's max ts, so a regenerated
+    # dataset must get a fresh sentinel, not a stale one that would
+    # leave real windows below the watermark
+    stat = os.stat(src)
+    stamp = f"{src}|{stat.st_mtime_ns}|{stat.st_size}"
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bsr_events_flush_{hashlib.md5(stamp.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "a_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sentinel = os.path.join(stream_dir, "zz_flush.parquet")
+    if not os.path.exists(sentinel):
+        max_ns = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        flush_ns = max_ns + 3650 * 86400 * 1_000_000_000  # +10 years
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array([flush_ns], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__flush"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            sentinel,
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("ct"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "ct",
+            "total_value",
+        )
+    )
+    return _drain_to_memory(stream, spark).where(F.col("event_type") != "__flush")
+
+
 STREAM_DEDUP_ORACLE = f"""
 SELECT DISTINCT {fns.dt_sql('ts')} AS dt, user_id FROM events
 """

@@ -871,3 +871,60 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+Q20_ORACLE = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT l_suppkey, qty, sum(qty) OVER (PARTITION BY l_partkey) AS total_qty
+  FROM per
+)
+SELECT s_name, count(*) AS n_dominant_parts
+FROM w JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty > 0.3 * total_qty
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+@register("q20_dominant_supplier", oracle=Q20_ORACLE)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style dominant supplier (adapted: no partsupp — the
+    supply share comes from shipped lineitem quantities): suppliers
+    providing >30% of a PROMO part's total shipped quantity, counted.
+
+    Scale: two-level aggregation with the part total as a WINDOW over
+    the already-reduced per-(part,supplier) frame — no second shuffle
+    of lineitem, no self-join; exchange reuse keeps one scan. The share
+    predicate compares integer-valued double sums (exact < 2^53), so
+    both engines agree bit-for-bit.
+
+    From the window the plan re-shuffles only |per| rows. The final
+    count groups by supplier name after a key-equi join AQE can
+    broadcast (suppliers are the small side post-filter)."""
+    li, p, s = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    from pyspark.sql import Window
+
+    per = (
+        li.join(
+            broadcast_bounded(p.where(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = per.withColumn(
+        "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        w.where(F.col("qty") > 0.3 * F.col("total_qty"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy("s_name")
+    )
