@@ -58,28 +58,40 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    ckpt = labels  # the checkpointed frame backing `labels` (release handle)
     try:
         for _ in range(max_rounds):
+            # carry each vertex's previous label through the same
+            # aggregation (`old` is non-null exactly once per id — its
+            # own labels row), so convergence detection needs no second
+            # join: one shuffle join + one shuffle agg per round, then a
+            # cheap filter-count over the checkpointed result
             nbr = sym.join(
                 labels.withColumnRenamed("id", "v"), "v"
-            ).select(F.col("u").alias("id"), "component")
-            new_labels = (
-                nbr.unionByName(labels)
+            ).select(
+                F.col("u").alias("id"),
+                "component",
+                F.lit(None).cast("long").alias("old"),
+            )
+            own = labels.select(
+                "id", "component", F.col("component").alias("old")
+            )
+            stepped = (
+                nbr.unionByName(own)
                 .groupBy("id")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("old").alias("old"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.withColumnRenamed("component", "new_component")
-                .join(labels, "id")
-                .where(F.col("new_component") != F.col("component"))
-                .count()
-            )
+            changed = stepped.where(F.col("component") != F.col("old")).count()
             # release the superseded round's checkpointed blocks — without
             # this up to max_rounds block sets stay pinned in executor
             # storage for the life of the loop
-            _release_checkpoint(labels)
-            labels = new_labels
+            _release_checkpoint(ckpt)
+            ckpt = stepped
+            labels = stepped.select("id", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(
