@@ -45,6 +45,8 @@ def ensure_fixtures() -> str:
         FX.gen_dims(os.path.join(FIXTURE_BASE, "dims"))
     if not os.path.exists(os.path.join(FIXTURE_BASE, "raw_log")):
         FX.gen_raw_log(os.path.join(FIXTURE_BASE, "raw_log"), n_rows=800, n_files=2)
+    if not os.path.exists(os.path.join(FIXTURE_BASE, "cdc")):
+        FX.gen_cdc(os.path.join(FIXTURE_BASE, "cdc"), n_rows=600, n_files=2)
     return FIXTURE_BASE
 
 
@@ -494,3 +496,63 @@ def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("order_id").isNull())
         .select("detail_id", "sku_name", "split_total_amount")
     )
+
+
+#: per-route counts over the drained CDC split are a full oracle for the
+#: envelope parse (T8 normalization) + set-membership routing (T9/K4/K6):
+#: route membership is arrival-order-independent
+STREAM_CDC_ORACLE = f"""
+WITH raw AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/cdc/*.jsonl',
+        format='newline_delimited',
+        columns={{'type': 'VARCHAR', 'table': 'VARCHAR', 'data': 'JSON'}})
+),
+norm AS (
+  SELECT CASE WHEN "type" = 'bootstrap-insert' THEN 'insert'
+              WHEN "type" IN ('insert', 'update', 'delete') THEN "type"
+         END AS op,
+         "table"
+  FROM raw
+  WHERE "type" IN ('bootstrap-insert', 'insert', 'update', 'delete')
+)
+SELECT 'DWD_' || upper("table") || '_' || upper(op) AS route,
+       count(*)::BIGINT AS n
+FROM norm WHERE "table" IN ('order_info', 'order_detail')
+GROUP BY 1
+UNION ALL
+SELECT 'DIM:' || upper("table") AS route, count(*)::BIGINT AS n
+FROM norm WHERE "table" IN ('user_info', 'base_province')
+GROUP BY 1
+"""
+
+
+@register("stream_cdc_routing", oracle=STREAM_CDC_ORACLE)
+def stream_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base_db CDC pipeline as a real streaming op: Maxwell
+    envelopes replayed file-by-file → op normalization (T8) →
+    fact/dim set-membership routing (T9) with dynamic Kafka topics
+    (K4) and dim upsert keys (K6), both branches drained and reduced
+    to per-route counts against a DuckDB filtered-count oracle.
+    Garbage ops and unlisted tables must vanish, not crash."""
+    from bigdata_spark_realtime_spark.streaming.base_db import (
+        parse_cdc,
+        route_dims,
+        route_facts,
+    )
+
+    cdc_dir = os.path.join(ensure_fixtures(), "cdc")
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(cdc_dir)
+    )
+    cdc = parse_cdc(raw)
+    facts = _drain_to_memory(route_facts(cdc), spark)
+    dims = _drain_to_memory(route_dims(cdc), spark)
+    fact_counts = facts.groupBy(F.col("topic").alias("route")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dim_counts = dims.groupBy(
+        F.concat(F.lit("DIM:"), F.upper("table")).alias("route")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return fact_counts.unionByName(dim_counts)

@@ -928,3 +928,246 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
         .orderBy("s_name")
     )
+
+
+Q11_ORACLE = """
+WITH sup AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+),
+val AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS cents
+  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, round(cents / 100.0, 2) AS total_value
+FROM (SELECT l_suppkey, cents, sum(cents) OVER () AS total_cents FROM val)
+WHERE cents > 0.04 * total_cents
+ORDER BY total_value DESC, s_suppkey
+"""
+
+
+@register("q11_important_value_share", oracle=Q11_ORACLE)
+def q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important stock (adapted: supplier shipped value
+    from lineitem stands in for partsupp stock value): one nation's
+    suppliers whose value exceeds 4% of that nation's total.
+
+    Scale: the HAVING-against-global-total is a window over the
+    already-reduced per-supplier frame — no second scan, no driver
+    round-trip; cent-exact sums make the 4% threshold engine-agnostic."""
+    li, s, n = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    from pyspark.sql import Window
+
+    sup = s.join(
+        broadcast_bounded(
+            n.where(F.col("n_name") == "NATION_5").select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    val = (
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = val.withColumn("total_cents", F.sum("cents").over(Window.partitionBy()))
+    return (
+        w.where(F.col("cents") > 0.04 * F.col("total_cents"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "s_suppkey")
+    )
+
+
+Q12_ORACLE = """
+SELECT year(l_shipdate) AS l_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("q12_late_shipment_priority", oracle=Q12_ORACLE)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style shipping-mode check (adapted: no shipmode/commit/
+    receipt columns — "late" is shipped >60 days after the order date):
+    high- vs low-priority line counts per ship year.
+
+    Scale: one key-equi shuffle join carrying three columns; the
+    conditional counts are a single partial+final aggregation — the
+    CASE pair never materializes two passes."""
+    li, o = load_tables(spark, sf_dir, "lineitem", "orders")
+    late = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_year")
+    )
+
+
+Q21_LATE_DAYS = 90
+Q21_TOPK = 20
+
+Q21_ORACLE = f"""
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPK}
+"""
+
+
+@register("q21_waiting_supplier", oracle=Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style suppliers-who-kept-orders-waiting (adapted:
+    "late" is shipped >90 days after the order date — the schema has no
+    commit/receipt dates): for finished multi-supplier orders, the
+    supplier who was the ONLY late one, counted and top-20.
+
+    Scale: both correlated subqueries compile to key-equi semi/anti
+    joins on the order key — the lineitem self-references shuffle on
+    the same key as the main join, so AQE can reuse co-partitioning;
+    nothing is ever quadratic in lines per order."""
+    li, o, s = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    o_f = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_cut = F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > late_cut)
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_shipdate").alias("o2_shipdate"),
+    )
+    multi = l1.join(
+        other,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        other,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey"))
+        & (F.col("o2_shipdate") > late_cut),
+        "left_anti",
+    )
+    return (
+        sole_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPK)
+    )
+
+
+Q2_ORACLE = """
+WITH pu AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents,
+         sum(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size = 15
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT l_partkey, l_suppkey, round(cents / qty / 100.0, 4) AS unit_price
+  FROM pu
+),
+m AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+  FROM u
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_price
+FROM m
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE unit_price = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier (adapted: no partsupp — the
+    per-(part,supplier) unit price is shipped value / shipped quantity
+    from lineitem): for size-15 parts, the supplier(s) achieving each
+    part's minimum unit price, richest-supplier-first top-100.
+
+    Scale: the correlated min is a window over the per-(part,supplier)
+    aggregate — |pu| rows, not lineitem; unit prices are exact-cent
+    ratios rounded identically in both engines, so the min-equality
+    predicate cannot drift; top-100 compiles to TakeOrderedAndProject."""
+    li, p, s, n = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    pu = (
+        li.join(
+            broadcast_bounded(p.where(F.col("p_size") == 15).select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents).alias("cents"), F.sum("l_quantity").alias("qty"))
+    )
+    u = pu.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("cents") / F.col("qty") / 100.0, 4).alias("unit_price"),
+    )
+    m = u.withColumn(
+        "min_price", F.min("unit_price").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        m.where(F.col("unit_price") == F.col("min_price"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            broadcast_bounded(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -11,7 +11,7 @@ from bigdata_spark_realtime_spark.plans import registry
 #: a mismatch here means a module stopped registering (import typo,
 #: accidental deletion) and the DRIVER GATE would silently shrink
 EXPECTED_PER_MODULE = {
-    "tpch": 18,
+    "tpch": 22,
     "transforms": 6,
     "scalar_fns": 7,
     "dedup": 2,
@@ -28,7 +28,7 @@ EXPECTED_PER_MODULE = {
     "ext_text": 4,
     "ext_multimodal": 3,
     "ext_asof": 1,
-    "streaming_queries": 6,
+    "streaming_queries": 7,
 }
 
 
