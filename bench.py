@@ -61,8 +61,18 @@ def main() -> None:
     # table, then one full query, so timings reflect steady state
     from bigdata_spark_realtime_spark.sources.tables import TABLE_NAMES, load_table
 
+    # per-table try/except: a single table's schema drift must cost that
+    # table its warm-up (reported loudly on stderr), never the whole
+    # bench — round 4 lost all numbers to one loader exception here
+    skipped = []
     for t in TABLE_NAMES:
-        load_table(spark, SF_DIR, t).count()
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            skipped.append(t)
+            print(f"bench: warm-up skipped table {t}: {e!r}"[:500], file=sys.stderr)
+    if skipped:
+        print(f"bench: WARNING warm-up skipped tables: {skipped}", file=sys.stderr)
     specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     # spin up the Python worker pool too (reused across queries, same as
     # a long-lived cluster): the vectorized Arrow-batch operators should
@@ -71,23 +81,28 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        try:
+            specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — report partial numbers, loudly
+            errors[name] = repr(e)[:300]
+            print(f"bench: query {name} FAILED: {e!r}"[:500], file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query wall-clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -84,15 +84,25 @@ def _drain_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the driver's events table as a file-source stream (`ts`
-    surfaces as a nanos long under the legacy conf; the file-stream
-    source requires a directory, so the single parquet file is exposed
-    through a symlinked dir)."""
+    """Replay the driver's events table as a file-source stream with an
+    added ``event_time`` TimestampType column normalized from whatever
+    physical ``ts`` type this testdata vintage has (timestamp[us],
+    TIMESTAMP(NANOS), or raw int64 nanos — see
+    :func:`sources.tables.events_ts_kind`). The file-stream source
+    requires a directory, so the single parquet file is exposed through
+    a symlinked dir."""
     import hashlib
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from bigdata_spark_realtime_spark.sources.tables import (
+        events_ts_kind,
+        ts_to_timestamp_expr,
+    )
+
     path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    kind = events_ts_kind(path)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     # keyed by the full source path, not just the sf-dir basename — two
     # datasets sharing a basename must not reuse each other's symlink
     stream_dir = os.path.join(
@@ -103,7 +113,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    return spark.readStream.schema(schema).parquet(stream_dir)
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("event_time", ts_to_timestamp_expr(kind))
+    )
 
 
 #: the streaming tumbling-window agg is batch-equivalent once every real
@@ -129,13 +143,22 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     them all; sentinel rows are excluded from the returned frame and
     their own window never finalizes."""
     import hashlib
+    from datetime import timedelta
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from bigdata_spark_realtime_spark.sources.tables import (
+        events_ts_kind,
+        ts_to_timestamp_expr,
+    )
+
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
-    schema = spark.read.parquet(src).schema  # ts read as long (nanos)
+    kind = events_ts_kind(src)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
     # key the fixture dir by source identity AND content stamp: the
     # sentinel's ts depends on the data's max ts, so a regenerated
     # dataset must get a fresh sentinel, not a stale one that would
@@ -152,26 +175,37 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
     sentinel = os.path.join(stream_dir, "zz_flush.parquet")
     if not os.path.exists(sentinel):
-        max_ns = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        flush_ns = max_ns + 3650 * 86400 * 1_000_000_000  # +10 years
+        # the sentinel must carry the SAME physical schema as the source
+        # file (the file-stream source reads both under one schema), so
+        # build it from the source footer: max(ts)+10y in ts's own type
+        src_schema = pq.read_schema(src)
+        max_ts = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+        if isinstance(max_ts, int):  # raw int64 epoch-nanos vintage
+            flush = max_ts + 3650 * 86400 * 1_000_000_000
+        else:  # any timestamp unit — pyarrow hands back a datetime
+            flush = max_ts + timedelta(days=3650)
+        fill = {
+            "event_id": [-1],
+            "ts": [flush],
+            "user_id": [-1],
+            "event_type": ["__flush"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        cols = [
+            pa.array(fill[f.name], f.type)
+            if f.name in fill
+            else pa.nulls(1, f.type)
+            for f in src_schema
+        ]
         pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array([flush_ns], pa.int64()),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["__flush"], pa.string()),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"], pa.string()),
-                }
-            ),
-            sentinel,
+            pa.Table.from_arrays(cols, schema=src_schema), sentinel
         )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("event_time", ts_to_timestamp_expr(kind))
         .withWatermark("event_time", "1 hour")
         .groupBy(F.window("event_time", "6 hours").alias("w"), "event_type")
         .agg(
@@ -201,8 +235,7 @@ def stream_dedup_dau_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     set."""
     stream = _events_stream(spark, sf_dir)
     deduped = (
-        stream.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("dt", fns.dt_col("event_time"))
+        stream.withColumn("dt", fns.dt_col("event_time"))
         .withWatermark("event_time", DEDUP_WATERMARK)
         .dropDuplicatesWithinWatermark(["dt", "user_id"])
         .select("dt", "user_id")
@@ -398,9 +431,7 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions; the timeout-flush path is exercised in tests."""
     from bigdata_spark_realtime_spark.streaming.sessionize import sessionize_stream
 
-    stream = _events_stream(spark, sf_dir).withColumn(
-        "event_time", F.expr("timestamp_micros(ts div 1000)")
-    )
+    stream = _events_stream(spark, sf_dir)
     # watermark >> fixture span: timeout flushes suppressed for a
     # deterministic, oracle-checkable emitted set
     sessions = sessionize_stream(stream, watermark="3650 days")

@@ -834,7 +834,9 @@ SELECT n_name AS cntry, count(*) AS numcust,
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY n_name
 ORDER BY n_name
 """
@@ -844,7 +846,12 @@ ORDER BY n_name
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22-style sales opportunity (adapted: grouped by nation —
     the schema has no phone column to take country codes from):
-    above-average-balance customers who never ordered.
+    above-average-balance customers with no URGENT-priority order.
+    (Every customer in the generated data has ≥1 order, so the spec's
+    "never ordered" anti-join is empty at every SF; restricting the
+    anti-join to URGENT orders keeps the identical plan shape — LEFT
+    ANTI on the customer key over a filtered orders scan — while
+    returning real rows for the correctness gate.)
 
     Scale: the global average collapses to a 1-row frame cross-joined in
     (broadcast by construction); the never-ordered test is a LEFT ANTI
@@ -857,7 +864,11 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cu.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
         .join(
             broadcast_bounded(
                 n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cntry"))
@@ -886,7 +897,7 @@ w AS (
 )
 SELECT s_name, count(*) AS n_dominant_parts
 FROM w JOIN supplier ON s_suppkey = l_suppkey
-WHERE qty > 0.3 * total_qty
+WHERE qty > 0.1 * total_qty
 GROUP BY s_name
 ORDER BY s_name
 """
@@ -896,7 +907,10 @@ ORDER BY s_name
 def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-style dominant supplier (adapted: no partsupp — the
     supply share comes from shipped lineitem quantities): suppliers
-    providing >30% of a PROMO part's total shipped quantity, counted.
+    providing >10% of a PROMO part's total shipped quantity, counted.
+    (The 10% threshold is reachable at every test SF — the uniform
+    generator tops out near a 21% share at sf0.01 — so the gate checks
+    real rows, not a vacuous empty-vs-empty hash.)
 
     Scale: two-level aggregation with the part total as a WINDOW over
     the already-reduced per-(part,supplier) frame — no second shuffle
@@ -922,7 +936,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
     )
     return (
-        w.where(F.col("qty") > 0.3 * F.col("total_qty"))
+        w.where(F.col("qty") > 0.1 * F.col("total_qty"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
@@ -989,10 +1003,10 @@ def q11_important_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_ORACLE = """
 SELECT year(l_shipdate) AS l_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY 1

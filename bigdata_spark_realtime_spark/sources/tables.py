@@ -48,29 +48,86 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def events_ts_kind(path: str) -> str:
+    """Classify the physical parquet type of the events ``ts`` column
+    from the file footer (no Spark read, no session conf): the driver
+    has regenerated the testdata across rounds with ``ts`` stored as
+    TIMESTAMP(NANOS), raw int64 nanos, and timestamp[us] — schema drift
+    the engine must absorb the way the reference absorbs schemaless
+    JSON (`app/ods_BaseLogApp.scala:58-64`: missing/retyped fields
+    degrade, never crash).
+
+    Returns ``"timestamp"`` (µs/ms/s — Spark reads it natively),
+    ``"nanos"`` (TIMESTAMP(NANOS) — Spark rejects it outright with
+    [PARQUET_TYPE_ILLEGAL] unless read as long), or ``"long"`` (already
+    a raw int64 of epoch nanos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t):
+        return "nanos" if t.unit == "ns" else "timestamp"
+    if pa.types.is_integer(t):
+        return "long"
+    raise TypeError(f"events.ts has unsupported parquet type {t} in {path}")
+
+
+def ts_to_timestamp_expr(kind: str):
+    """The Column expression normalizing a ``ts`` of the given physical
+    kind to a session-tz TimestampType — shared by the batch loader and
+    every streaming replay site so all paths agree on event time."""
+    if kind == "timestamp":
+        # timestamp[us] arrives as TIMESTAMP_NTZ; cast re-tags it in the
+        # session zone (pinned UTC) without changing the wall-clock value
+        return F.col("ts").cast("timestamp")
+    # int64 epoch-nanos (raw long or TIMESTAMP(NANOS) read under
+    # nanosAsLong): truncate to µs with exact integer division — the
+    # same ns→µs truncation DuckDB applies on read
+    return F.expr("timestamp_micros(ts div 1000)")
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos
-    as long (legacy conf, runtime-settable) and truncate to microseconds
-    with exact integer division — the same ns→µs truncation DuckDB
-    applies, so both engines see identical timestamps."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Dtype-adaptive events load: branch on the footer's physical type
+    instead of hard-coding one generator vintage. Either way the loaded
+    frame presents ``ts`` as TimestampType (µs precision, UTC)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    kind = events_ts_kind(path)
+    if kind == "nanos":
+        # runtime-settable legacy conf: nanos columns surface as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", ts_to_timestamp_expr(kind))
+
+
+class LazyTables(dict):
+    """Table mapping that loads each table on first access. Queries that
+    index only the tables they read never touch the others' schemas —
+    an unrelated table's drift (or absence) can't break them, and no
+    parquet footer is read for tables a query never uses."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = load_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
-    """All tables as a dict, or — when ``names`` are given — exactly
+    """Lazy dict of all tables, or — when ``names`` are given — exactly
     those tables as a tuple (``li, s = load_tables(spark, d, "lineitem",
     "supplier")``)."""
     if names:
         return tuple(load_table(spark, sf_dir, n) for n in names)
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    return LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table as a temp view so plans can use spark.sql."""
     dfs = load_tables(spark, sf_dir)
-    for name, df in dfs.items():
-        df.createOrReplaceTempView(name)
+    for name in TABLE_NAMES:
+        dfs[name].createOrReplaceTempView(name)
     return dfs

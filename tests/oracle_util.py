@@ -30,6 +30,20 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, *, float_tol: float = 0.
 
     for c in got.columns:
         g, w = got[c], want[c]
+        # the driver's gate hashes raw materialized values with NO dtype
+        # normalization, so an integer column on one side and float on
+        # the other (DuckDB HUGEINT sums materialize as float64: 174.0
+        # vs 174) hash-diverges there even when every value is equal.
+        # Fail that class here, before the float coercion below hides it.
+        if len(got) > 0:
+            gk, wk = g.dtype.kind, w.dtype.kind
+            if gk in "iuf" and wk in "iuf":
+                assert (gk == "f") == (wk == "f"), (
+                    f"col {c}: dtype kind mismatch spark={g.dtype} "
+                    f"oracle={w.dtype} — driver's untyped hash would fail; "
+                    "CAST the oracle aggregate (HUGEINT→BIGINT?) or align "
+                    "the Spark type"
+                )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
                 both_nan = (isinstance(a, float) and math.isnan(a)) and (

@@ -1,0 +1,220 @@
+"""Schema contract for the driver-generated testdata.
+
+The driver regenerates /root/testdata between rounds and has already
+shipped the same logical column under three different physical parquet
+types (``events.ts``: TIMESTAMP(NANOS) → timestamp[us]; the date
+columns: date32 → timestamp[us]). Round 4 lost 27 queries, 31 tests and
+the whole bench to one such drift surfacing as an opaque
+AnalysisException deep inside a query plan.
+
+This test pins the *contract* the engine actually depends on — the
+logical column set per table plus the accepted families of physical
+types — directly against the parquet footers (pyarrow; no Spark
+session, so it runs in milliseconds and fails with the drifted column's
+name). If a future regeneration drifts outside an accepted family, this
+fails first with one clear message instead of 31 opaque ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TESTDATA_ROOT = "/root/testdata"
+SF_DIRS = [
+    os.path.join(TESTDATA_ROOT, d)
+    for d in ("sf0.001", "sf0.01", "sf0.1")
+    if os.path.isdir(os.path.join(TESTDATA_ROOT, d))
+]
+
+
+def _is_integer(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t)
+
+
+def _is_float(t: pa.DataType) -> bool:
+    return pa.types.is_floating(t)
+
+
+def _is_string(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _is_temporal_or_nanos(t: pa.DataType) -> bool:
+    """Timestamp of any unit, date, or raw int64 epoch — every vintage
+    the adaptive loaders absorb."""
+    return pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_int64(t)
+
+
+def _is_float_list(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+    ) and pa.types.is_floating(t.value_type)
+
+
+#: table -> {column -> accepted physical-type family}
+CONTRACT: dict[str, dict[str, object]] = {
+    "region": {"r_regionkey": _is_integer, "r_name": _is_string},
+    "nation": {
+        "n_nationkey": _is_integer,
+        "n_name": _is_string,
+        "n_regionkey": _is_integer,
+    },
+    "customer": {
+        "c_custkey": _is_integer,
+        "c_name": _is_string,
+        "c_nationkey": _is_integer,
+        "c_acctbal": _is_float,
+        "c_mktsegment": _is_string,
+    },
+    "supplier": {
+        "s_suppkey": _is_integer,
+        "s_name": _is_string,
+        "s_nationkey": _is_integer,
+        "s_acctbal": _is_float,
+    },
+    "part": {
+        "p_partkey": _is_integer,
+        "p_name": _is_string,
+        "p_brand": _is_string,
+        "p_type": _is_string,
+        "p_size": _is_integer,
+        "p_retailprice": _is_float,
+    },
+    "orders": {
+        "o_orderkey": _is_integer,
+        "o_custkey": _is_integer,
+        "o_orderstatus": _is_string,
+        "o_totalprice": _is_float,
+        "o_orderdate": _is_temporal_or_nanos,
+        "o_orderpriority": _is_string,
+    },
+    "lineitem": {
+        "l_orderkey": _is_integer,
+        "l_partkey": _is_integer,
+        "l_suppkey": _is_integer,
+        "l_linenumber": _is_integer,
+        "l_quantity": _is_float,
+        "l_extendedprice": _is_float,
+        "l_discount": _is_float,
+        "l_tax": _is_float,
+        "l_returnflag": _is_string,
+        "l_linestatus": _is_string,
+        "l_shipdate": _is_temporal_or_nanos,
+    },
+    "events": {
+        "event_id": _is_integer,
+        "ts": _is_temporal_or_nanos,
+        "user_id": _is_integer,
+        "event_type": _is_string,
+        "value": _is_float,
+        "props": _is_string,
+    },
+    "documents": {
+        "doc_id": _is_integer,
+        "text": _is_string,
+        "lang": _is_string,
+        "source": _is_string,
+        "n_chars": _is_integer,
+    },
+    "embeddings": {
+        "vec_id": _is_integer,
+        "embedding": _is_float_list,
+        "label": _is_integer,
+    },
+}
+
+
+def check_contract(path: str, table: str) -> list[str]:
+    """All contract violations for one parquet file, each naming the
+    offending column — empty list means the file satisfies the contract."""
+    spec = CONTRACT[table]
+    schema = pq.read_schema(path)
+    have = {f.name: f.type for f in schema}
+    problems = [
+        f"{table}.{col}: missing (file has {sorted(have)})"
+        for col in spec
+        if col not in have
+    ]
+    problems += [
+        f"{table}.{col}: physical type {have[col]} outside accepted family"
+        for col, accept in spec.items()
+        if col in have and not accept(have[col])
+    ]
+    return problems
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+@pytest.mark.parametrize("table", sorted(CONTRACT))
+def test_table_satisfies_contract(sf_dir, table):
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    assert os.path.exists(path), f"{path} missing from testdata"
+    problems = check_contract(path, table)
+    assert not problems, "; ".join(problems)
+
+
+def test_contract_catches_drift(tmp_path):
+    """The contract must go red (naming the column) on a synthetic
+    drifted events file — ts as string, value missing."""
+    drifted = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2026-01-01"], pa.string()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(drifted, path)
+    problems = check_contract(path, "events")
+    assert any("events.ts" in p for p in problems), problems
+    assert any("events.value" in p and "missing" in p for p in problems), problems
+
+
+def test_queries_ignore_unrelated_tables(spark, sf_dir, tmp_path_factory):
+    """An unrelated table's schema (or absence) must never break a query
+    that doesn't read it: the no-arg ``load_tables`` is lazy, so
+    q3/q5/q10/q18 run from a scratch sf dir with events.parquet deleted
+    — the exact blast-radius amplifier of the round-4 regression."""
+    from bigdata_spark_realtime_spark.plans import registry
+
+    scratch = str(tmp_path_factory.mktemp("no_events_sf"))
+    for table in sorted(CONTRACT):
+        if table == "events":
+            continue
+        os.symlink(
+            os.path.join(sf_dir, f"{table}.parquet"),
+            os.path.join(scratch, f"{table}.parquet"),
+        )
+    specs = registry.load_all()
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q18_large_volume_customer",
+    ):
+        assert specs[name].fn(spark, scratch).count() >= 0, name
+
+
+def test_events_ts_kind_classification(tmp_path):
+    """events_ts_kind covers every vintage: µs timestamp → native read,
+    ns timestamp → legacy-long path, int64 → raw-nanos path."""
+    from bigdata_spark_realtime_spark.sources.tables import events_ts_kind
+
+    cases = {
+        "us": (pa.timestamp("us"), "timestamp"),
+        "ns": (pa.timestamp("ns"), "nanos"),
+        "long": (pa.int64(), "long"),
+    }
+    for tag, (typ, want) in cases.items():
+        path = str(tmp_path / f"ev_{tag}.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([0], pa.int64()).cast(typ)}),
+            path,
+            coerce_timestamps=None,
+        )
+        assert events_ts_kind(path) == want, tag
