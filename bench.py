@@ -48,6 +48,8 @@ HEADLINE: tuple[str, ...] = (
     "ext_ann_bucketed_topk",    # IVF-style cell-local scan
     "ext_text_quality_score",   # regex/array text features
     "ext_asof_join",            # union-and-window as-of join
+    "ext_dedup_embedding_srp",  # int64 SRP signatures + bucket-local pairs
+    "ext_sample_stratified",    # map-side hash-rate stratified sample
 )
 
 

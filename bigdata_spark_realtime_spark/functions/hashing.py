@@ -124,3 +124,43 @@ def minhash(hashes_col: Column, j: int) -> Column:
 def minhash_sql(hashes_expr: str, j: int) -> str:
     a, b = MINHASH_A[j], MINHASH_B[j]
     return f"list_min(list_transform({hashes_expr}, h -> ({a} * h + {b}) % {P}))"
+
+
+# ---------------------------------------------------------------------------
+# SRP (sign-random-projection) constants for embedding LSH
+#
+# Integer end-to-end so bucket membership is bit-identical across
+# engines: a float dot product near zero can flip sign between
+# summation orders (BLAS pairwise vs a SQL fold), silently moving a
+# vector between buckets. Embeddings are quantized by floor(x * 2^20)
+# (multiplying a float64 by a power of two is exact, floor is exact, so
+# both engines derive the same int64s from the same parquet floats) and
+# the hyperplane weights are md5-derived ints in [-1000, 1000] — the dot
+# product is then exact int64 arithmetic everywhere. Magnitudes:
+# |qe| ≤ 2^20·max|x| and |w| ≤ 10^3, so 64 terms stay < 2^40 · dim —
+# orders of magnitude inside int64.
+# ---------------------------------------------------------------------------
+
+#: 4 bands × 6 planes = 24 hyperplanes. Candidate probability at cosine
+#: s (collision p = 1 − arccos(s)/π): 1−(1−p⁶)⁴ ≈ 0.95 at s = 0.95 —
+#: near-dup recall — while orthogonal pairs (p = 0.5) collide at only
+#: 1−(1−0.5⁶)⁴ ≈ 6%, keeping the verify join sub-quadratic.
+SRP_BANDS = 4
+SRP_ROWS = 6
+N_SRP_PLANES = SRP_BANDS * SRP_ROWS
+#: embedding dimensionality of the driver's embeddings table
+EMB_DIM = 64
+#: quantization scale (power of two ⇒ exact float64 multiply)
+SRP_SCALE = 1 << 20
+
+
+def _srp_w(p: int, d: int) -> int:
+    v = int(_hashlib.md5(f"srp-{p}-{d}".encode()).hexdigest()[:12], 16)
+    return v % 2001 - 1000
+
+
+#: SRP_W[p][d] — hyperplane p's weight for dimension d (pure data,
+#: interpolated into the DuckDB oracle so both engines share the planes)
+SRP_W = tuple(
+    tuple(_srp_w(p, d) for d in range(EMB_DIM)) for p in range(N_SRP_PLANES)
+)

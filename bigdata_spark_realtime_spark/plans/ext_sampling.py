@@ -1,0 +1,121 @@
+"""Deterministic corpus sampling — the rebalancing step of a
+training-data pipeline.
+
+Two complementary operators over the `documents` table:
+
+- **stratified rate sampling** (`ext_sample_stratified`): keep each
+  document with a per-language probability, decided by a hash of the
+  document's own identity — no RNG state, no count pass, no shuffle.
+  Downsampling the dominant language (en is ~44% of the corpus) is the
+  canonical language-rebalancing move before training.
+- **per-source quota capping** (`ext_sample_source_cap`): keep at most
+  N documents per source, chosen by a deterministic hash order — the
+  "no single crawl dominates" guard. One shuffle on the source key.
+
+Both are hash-deterministic (md5, identical in DuckDB — see
+functions/hashing.py), so the oracle reproduces the exact sample, not
+just its size. The reference has no sampling surface; this extends the
+engine for corpus curation at 100 TB, where a seeded `rand()` would be
+irreproducible across retries/replans and a `TABLESAMPLE` cannot target
+strata.
+
+Scale: the rate sampler is a pure map-side filter — it composes with
+predicate pushdown and costs zero shuffles at any corpus size. The
+quota cap shuffles once on `source`; a pathologically hot source is
+bounded by the cap itself (each task emits ≤ CAP rows per source after
+the window), and the rank key (hash, doc_id) is total, so the kept set
+is unique and stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_spark_realtime_spark.functions import hashing as H
+from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: sampling decisions are buckets of h(doc) mod MOD — integer thresholds
+#: so neither engine ever compares floats
+SAMPLE_MOD = 10_000
+
+#: per-language keep rate in MOD-ths: downsample English (the dominant
+#: stratum), keep the tail languages whole
+STRATA_RATES: dict[str, int] = {
+    "en": 2_500,  # 25%
+    "zh": 10_000,
+    "es": 10_000,
+    "de": 10_000,
+    "fr": 10_000,
+}
+DEFAULT_RATE = 5_000  # unseen languages: 50%
+
+#: per-source quota for the capping sampler
+SOURCE_CAP = 15
+
+
+def _sample_bucket(doc_id: F.Column, lang: F.Column) -> F.Column:
+    """h32(doc_id ':' lang) mod MOD — salting the hash with the stratum
+    makes per-stratum decisions independent (the same doc_id in two
+    strata doesn't correlate)."""
+    return H.h32(F.concat(doc_id.cast("string"), F.lit(":"), lang)) % SAMPLE_MOD
+
+
+_KEY_SQL = "doc_id::VARCHAR || ':' || lang"
+_BUCKET_SQL = f"{H.h32_sql(_KEY_SQL)} % {SAMPLE_MOD}"
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    + f" ELSE {DEFAULT_RATE} END"
+)
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source, {_BUCKET_SQL} AS sample_bucket
+FROM documents
+WHERE {_BUCKET_SQL} < {_RATE_CASE_SQL}
+"""
+
+
+@register("ext_sample_stratified", oracle=STRATIFIED_ORACLE)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rate sampling: keep a document iff its
+    identity hash falls under the stratum's threshold. Map-side only —
+    zero shuffles, reproducible under retries, no pre-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY {H.h32_sql("doc_id::VARCHAR")}, doc_id
+) <= {SOURCE_CAP}
+"""
+
+
+@register("ext_sample_source_cap", oracle=SOURCE_CAP_ORACLE)
+def ext_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most SOURCE_CAP documents per source, picked by deterministic
+    hash order (a uniform "random" draw that every engine and retry
+    reproduces). One shuffle on `source`; rank key (hash, doc_id) is
+    total so the kept set is unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    order = H.h32(F.col("doc_id").cast("string"))
+    win = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )

@@ -60,7 +60,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
+    "bigdata_spark_realtime_spark.plans.ext_sampling",
     "bigdata_spark_realtime_spark.plans.olap_extras",
+    "bigdata_spark_realtime_spark.plans.ext_srp",
 )
 
 

@@ -116,6 +116,23 @@ def test_q16_exclusion_is_anti_join(spark, sf_dir):
     assert "LessThan(s_acctbal,1000" in plan, "exclusion filter must reach the scan"
 
 
+def test_stratified_sample_is_shuffle_free_and_pruned(spark, sf_dir):
+    """The rate sampler must stay a pure map-side filter: zero exchanges
+    (it composes with any upstream partitioning at 100 TB) and a pruned
+    read schema (3 of the documents table's 5 columns)."""
+    plan = _plan(spark, sf_dir, "ext_sample_stratified")
+    assert "Exchange" not in plan, "rate sampling must not shuffle"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)
+
+
+def test_source_cap_single_shuffle(spark, sf_dir):
+    """The quota cap is one shuffle on source (the rank window), nothing
+    else."""
+    plan = _plan(spark, sf_dir, "ext_sample_source_cap")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (

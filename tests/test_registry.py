@@ -28,6 +28,8 @@ EXPECTED_PER_MODULE = {
     "ext_text": 4,
     "ext_multimodal": 3,
     "ext_asof": 1,
+    "ext_sampling": 2,
+    "ext_srp": 1,
     "streaming_queries": 7,
 }
 
