@@ -50,6 +50,7 @@ HEADLINE: tuple[str, ...] = (
     "ext_asof_join",            # union-and-window as-of join
     "ext_dedup_embedding_srp",  # int64 SRP signatures + bucket-local pairs
     "ext_sample_stratified",    # map-side hash-rate stratified sample
+    "ext_curation_pipeline",    # quality → dedup-keeper → rebalance, 1 shuffle
 )
 
 

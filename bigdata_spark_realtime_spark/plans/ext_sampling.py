@@ -94,6 +94,78 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the composed pipeline reuses the quality gates and normalization the
+#: standalone operators define — one source of truth per rule
+_CURATION_KEEP_SQL = """
+      len(string_split(text, ' ')) >= 10
+  AND len(list_filter(string_split(text, ' '),
+          t -> t IN ('the', 'a', 'and', 'of', 'to', 'in')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.05
+  AND len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+      / CAST(length(text) AS DOUBLE) <= 0.2
+"""
+
+CURATION_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, lang, source, text
+  FROM documents
+  WHERE length(text) > 0 AND ({_CURATION_KEEP_SQL})
+),
+keepers AS (
+  SELECT doc_id, lang, source,
+         min(doc_id) OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         ) AS keeper_id
+  FROM quality
+)
+SELECT doc_id, lang, source, {_BUCKET_SQL} AS sample_bucket
+FROM keepers
+WHERE doc_id = keeper_id AND {_BUCKET_SQL} < {_RATE_CASE_SQL}
+"""
+
+
+@register("ext_curation_pipeline", oracle=CURATION_ORACLE)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pass a training pipeline actually
+    runs, composed from the standalone operators' rules in the canonical
+    order: cheap quality gates (C4/Gopher-style, map-side) → exact-dedup
+    keeper among survivors (one shuffle on the md5 fingerprint) →
+    stratified language rebalance (map-side hash rate).
+
+    Scale: quality filtering and sampling cost zero shuffles, so the
+    only exchange in the whole pipeline is the dedup window — and it
+    shuffles the already-quality-filtered subset, not the raw corpus.
+    Filter order is the cost order: each stage shrinks the data the next
+    one pays for."""
+    from bigdata_spark_realtime_spark.plans.ext_dedup import norm_text
+    from bigdata_spark_realtime_spark.plans.ext_text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    punct_ct = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
+    ).cast("double")
+    keep = (
+        (n_tokens >= 10)
+        & (stop_ct / n_tokens >= 0.05)
+        & (punct_ct / F.length("text").cast("double") <= 0.2)
+    )
+    quality = docs.where(keep).select("doc_id", "lang", "source", "text")
+    win = Window.partitionBy(F.md5(norm_text(F.col("text"))))
+    keepers = quality.withColumn("keeper_id", F.min("doc_id").over(win))
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        keepers.where(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
 SOURCE_CAP_ORACLE = f"""
 SELECT doc_id, source
 FROM documents

@@ -587,3 +587,53 @@ def stream_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("DIM:"), F.upper("table")).alias("route")
     ).agg(F.count(F.lit(1)).alias("n"))
     return fact_counts.unionByName(dim_counts)
+
+
+@register(
+    "stream_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(doc_id::VARCHAR || ':' || lang), 1, 8) AS BIGINT)
+           % 10000 AS b,
+         CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 WHEN 'es' THEN 10000
+                   WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000 ELSE 5000 END AS rate
+  FROM documents
+) WHERE b < rate
+""",
+)
+def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stratified rate sampler running as a Structured Streaming
+    map-side pipeline: the documents table replayed as a file-source
+    stream, each micro-batch filtered by the identical hash-rate
+    predicate the batch operator uses (plans/ext_sampling.py), drained
+    append-mode. Because the decision is a pure function of the row,
+    the streamed sample equals the batch sample exactly — the oracle is
+    the batch SQL. This is the shape a continuous ingest pipeline uses:
+    stateless curation needs no watermarks and no state store, so it
+    rides the stream at full map throughput."""
+    import hashlib
+
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        DEFAULT_RATE,
+        STRATA_RATES,
+        _sample_bucket,
+    )
+
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bsr_docs_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    sampled = stream.where(bucket < rate).select("doc_id", "lang", "source")
+    return _drain_to_memory(sampled, spark)

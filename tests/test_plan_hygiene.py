@@ -133,6 +133,13 @@ def test_source_cap_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """Quality filter and stratified sample are map-side; the dedup
+    window's exchange must be the composed pipeline's ONLY shuffle."""
+    plan = _plan(spark, sf_dir, "ext_curation_pipeline")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (

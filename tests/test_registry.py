@@ -28,9 +28,9 @@ EXPECTED_PER_MODULE = {
     "ext_text": 4,
     "ext_multimodal": 3,
     "ext_asof": 1,
-    "ext_sampling": 2,
+    "ext_sampling": 3,
     "ext_srp": 1,
-    "streaming_queries": 7,
+    "streaming_queries": 8,
 }
 
 
