@@ -51,6 +51,8 @@ HEADLINE: tuple[str, ...] = (
     "ext_dedup_embedding_srp",  # int64 SRP signatures + bucket-local pairs
     "ext_sample_stratified",    # map-side hash-rate stratified sample
     "ext_curation_pipeline",    # quality → dedup-keeper → rebalance, 1 shuffle
+    "ext_decontaminate",        # broadcast eval shingles, map-side corpus check
+    "ext_pack_shards",          # hash-shard + per-shard greedy packing
 )
 
 

@@ -46,10 +46,14 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.tpch",
     "bigdata_spark_realtime_spark.plans.ext_dedup",
     "bigdata_spark_realtime_spark.plans.transforms",
+    "bigdata_spark_realtime_spark.plans.ext_sampling",
     "bigdata_spark_realtime_spark.plans.streaming_queries",
-    "bigdata_spark_realtime_spark.plans.scalar_fns",
+    "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
+    "bigdata_spark_realtime_spark.plans.ext_decontam",
     "bigdata_spark_realtime_spark.plans.dedup",
+    "bigdata_spark_realtime_spark.plans.ext_packing",
+    "bigdata_spark_realtime_spark.plans.scalar_fns",
     "bigdata_spark_realtime_spark.plans.serving",
     "bigdata_spark_realtime_spark.plans.joins",
     "bigdata_spark_realtime_spark.plans.ext_text",
@@ -60,9 +64,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
-    "bigdata_spark_realtime_spark.plans.ext_sampling",
     "bigdata_spark_realtime_spark.plans.olap_extras",
-    "bigdata_spark_realtime_spark.plans.ext_srp",
 )
 
 

@@ -30,6 +30,8 @@ EXPECTED_PER_MODULE = {
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
+    "ext_decontam": 1,
+    "ext_packing": 1,
     "streaming_queries": 8,
 }
 
