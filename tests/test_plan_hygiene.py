@@ -140,6 +140,15 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast (BroadcastHashJoin) so the
+    corpus side — the 100 TB side — is filtered map-side, never
+    shuffled into a SortMergeJoin."""
+    plan = _plan(spark, sf_dir, "ext_decontaminate")
+    assert "BroadcastHashJoin" in plan, "eval shingles must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus side must not shuffle for the join"
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (
