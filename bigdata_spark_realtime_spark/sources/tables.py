@@ -41,11 +41,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
 
+#: per-session memo of loaded table DataFrames. A DataFrame is an
+#: immutable lazy plan, so reuse is safe and saves the 0.1-0.25 s of
+#: py4j footer-read round-trips every `spark.read.parquet` costs —
+#: ~5 s across one bench pass. Keyed by the live JVM session object
+#: (WeakKeyDictionary: entries die with their session, and a restarted
+#: session can never collide with a dead one's key the way `id()`
+#: reuse could). Caveat: if a table FILE is replaced on disk mid-
+#: session, call `clear_table_cache()` — the driver regenerates
+#: testdata only between processes, so this never triggers in the
+#: gate.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    ensure_session_confs(spark)
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        ensure_session_confs(spark)
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        per_session[key] = df
+    return df
 
 
 def events_ts_kind(path: str) -> str:
