@@ -200,6 +200,38 @@ def test_queries_ignore_unrelated_tables(spark, sf_dir, tmp_path_factory):
         assert specs[name].fn(spark, scratch).count() >= 0, name
 
 
+@pytest.mark.parametrize("vintage", ["ns", "long"])
+def test_events_legacy_vintages_load_end_to_end(spark, sf_dir, tmp_path_factory, vintage):
+    """The adaptive loader must not just classify the legacy physical
+    types — it must LOAD them: rewrite the real events file as
+    TIMESTAMP(NANOS) / raw int64 epoch-nanos and assert the loaded
+    frame is value-identical to the native timestamp[us] load."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    scratch = str(tmp_path_factory.mktemp(f"events_{vintage}_sf"))
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts = src["ts"].combine_chunks().cast(pa.timestamp("ns"))
+    if vintage == "long":
+        ts = ts.cast(pa.int64())
+    rewritten = src.set_column(
+        src.schema.get_field_index("ts"), pa.field("ts", ts.type), ts
+    )
+    pq.write_table(
+        rewritten, os.path.join(scratch, "events.parquet"),
+        coerce_timestamps=None, store_schema=False,
+    )
+    got = load_table(spark, scratch, "events")
+    assert dict(got.dtypes)["ts"] == "timestamp", got.dtypes
+    want = load_table(spark, sf_dir, "events")
+    assert (
+        got.orderBy("event_id").collect() == want.orderBy("event_id").collect()
+    )
+
+
 def test_events_ts_kind_classification(tmp_path):
     """events_ts_kind covers every vintage: µs timestamp → native read,
     ns timestamp → legacy-long path, int64 → raw-nanos path."""
