@@ -27,6 +27,51 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def seeded_centroids(
+    emb: DataFrame, n_cells: int = 16, stride: int = 31, offset: int = 7
+) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the first ``n_cells``
+    corpus vectors whose vec_id ≡ offset (mod stride), numbered 0..n-1
+    in vec_id order.
+
+    This is the oracle-replayable alternative to KMeans training: a SQL
+    engine can reproduce the exact same centroid set (modulo filter +
+    ORDER BY vec_id LIMIT n), so the full IVF probe path — assignment,
+    n_probe cell selection, cell-local scoring — is hash-checkable
+    end-to-end. At 100 TB the selection is a metadata-cheap filter scan;
+    the 16-row result broadcasts everywhere.
+    """
+    w = Window.orderBy("vec_id")
+    return (
+        emb.where(F.col("vec_id") % stride == offset)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (squared-L2) single assignment: emb + `cell`.
+
+    The centroid set is tiny and broadcast, so this is a map-side
+    cross-product of |corpus| × n_cells distance folds followed by a
+    per-vector argmin window — one shuffle on vec_id, which at scale is
+    replaced by a map-side argmin (the window exists only to keep the
+    tie rule — min dist, then lowest cell — declarative and identical
+    to the SQL oracle's)."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", _sq_dist(F.col("embedding"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("dist", "rn", "centroid")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame, n_cells: int = 16, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
@@ -61,6 +106,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 4,
+    digits: int = 6,
 ) -> DataFrame:
     """queries(query_id, embedding) → top-k neighbors by cosine, scanning
     only each query's n_probe nearest cells.
@@ -101,7 +147,7 @@ def ivf_topk(
         q_cells.select("cell", F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding")),
         k,
         block_col="cell",
-        digits=6,
+        digits=digits,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (

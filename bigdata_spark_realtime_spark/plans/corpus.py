@@ -1,0 +1,39 @@
+"""Shared corpus-prep expression helpers (NO query registrations).
+
+Text normalization and embedding-typing primitives used across the
+dedup / text / similarity / decontamination plan modules. They live in
+their own module so that importing a helper never imports a module
+that *registers queries* — registration order is a documented contract
+(plans/registry.py: the external gate windows the first 50 registered
+queries), and a helper import must not drag another suite's
+registrations into the window as a side effect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: DuckDB-side twin of :func:`norm_text` — keep the two in lockstep.
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def norm_text(col: F.Column) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine over array<double> with a deterministic left-to-right fold
+    (bit-identical to DuckDB's list_cosine_similarity accumulation)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def emb_double(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )

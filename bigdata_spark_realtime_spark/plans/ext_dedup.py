@@ -21,14 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import hashing as H
+from bigdata_spark_realtime_spark.plans.corpus import (  # noqa: F401 — re-exported
+    NORM_SQL,
+    cosine,
+    emb_double,
+    norm_text,
+)
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # exact dedup — hash-groupBy on the normalized text fingerprint
+# (NORM_SQL / norm_text shared via plans/corpus.py)
 # ---------------------------------------------------------------------------
-
-NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 EXACT_ORACLE = f"""
 SELECT md5({NORM_SQL}) AS fingerprint,
@@ -37,10 +42,6 @@ SELECT md5({NORM_SQL}) AS fingerprint,
 FROM documents
 GROUP BY 1
 """
-
-
-def norm_text(col: F.Column) -> F.Column:
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
 @register("ext_dedup_exact", oracle=EXACT_ORACLE)
@@ -439,23 +440,6 @@ JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b
 LIMIT {NEARDUP_TOPK}
 """
-
-
-def cosine(a: F.Column, b: F.Column) -> F.Column:
-    """Cosine over array<double> with a deterministic left-to-right fold
-    (bit-identical to DuckDB's list_cosine_similarity accumulation)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
-
-
-def emb_double(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
 
 
 @register("ext_dedup_embedding", oracle=EMB_NEARDUP_ORACLE)

@@ -137,7 +137,7 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles the already-quality-filtered subset, not the raw corpus.
     Filter order is the cost order: each stage shrinks the data the next
     one pays for."""
-    from bigdata_spark_realtime_spark.plans.ext_dedup import norm_text
+    from bigdata_spark_realtime_spark.plans.corpus import norm_text
     from bigdata_spark_realtime_spark.plans.ext_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)

@@ -160,7 +160,7 @@ def ext_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rolling-hash fingerprint family)
 # ---------------------------------------------------------------------------
 
-from bigdata_spark_realtime_spark.plans.ext_dedup import NORM_SQL, norm_text  # noqa: E402
+from bigdata_spark_realtime_spark.plans.corpus import NORM_SQL, norm_text  # noqa: E402
 
 FP_ORACLE = f"""
 SELECT doc_id,

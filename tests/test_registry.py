@@ -32,8 +32,74 @@ EXPECTED_PER_MODULE = {
     "ext_srp": 1,
     "ext_decontam": 1,
     "ext_packing": 1,
+    "ext_ivf": 1,
     "streaming_queries": 8,
 }
+
+#: The exact first-50 registration window the round-6 external
+#: correctness gate sees: the 49 queries round 5 left unverified
+#: (CORRECTNESS_r05.json covered the other 50) plus the newly gated
+#: ext_ann_ivf_topk. r5 ∪ r6 = every registered query driver-verified.
+#: If this test goes red you reordered _PLAN_MODULES or registered a
+#: query ahead of the window — both silently change what the external
+#: gate verifies; update this list ONLY as a deliberate rotation.
+R6_WINDOW = [
+    # scalar_fns (leads to clear f1_f2_dt_hr_derive's standing r4 FAIL)
+    "f1_f2_dt_hr_derive", "f3_datetime_split", "f4_age_derive",
+    "f5_f6_key_naming", "f7_yesterday", "f10_match_and", "f11_highlight",
+    # serving (imports joins first, so j* register here)
+    "j1_dim_join_user", "j2_dim_join_geo", "j4_order_wide_join",
+    "j6_semi_join_routing", "j7_exists_semi_join", "j8_anti_join",
+    "serving_dau_realtime", "serving_stats_by_item_age",
+    "serving_stats_by_item_gender", "serving_detail_by_item",
+    # ext_text
+    "ext_text_token_stats", "ext_text_lang_id", "ext_text_quality_score",
+    "ext_text_fingerprint",
+    # ext_multimodal
+    "ext_multimodal_meta", "ext_multimodal_decode", "ext_multimodal_features",
+    # ext_asof / ext_packing / dedup
+    "ext_asof_join", "ext_pack_shards",
+    "d1_first_seen_dedup", "d3_last_write_wins",
+    # aggregations
+    "a1_count_total", "a2_hourly_counts_topk", "a3_day_over_day",
+    "a4_stats_by_item_top100", "a5_age_rebucket", "a6_gender_relabel",
+    # sort_limit / windows
+    "l1_pagination_page2", "l2_page_with_total", "l4_field_fetch_cap",
+    "w6_tumbling_window_agg",
+    # analytic
+    "analytic_order_sequence", "cube_status_priority", "exact_percentiles",
+    "set_ops_customer_cohorts", "bucketed_colocated_join",
+    "w7_sliding_window_agg",
+    # sessionize / olap_extras
+    "sessionize_events", "pivot_event_counts", "session_window_agg",
+    "rollup_region_nation", "approx_aggregates",
+    # the round's new oracle-gated operator
+    "ext_ann_ivf_topk",
+]
+
+
+def test_r6_gate_window_is_pinned():
+    """The first 50 registered queries — what the external gate checks —
+    must be exactly the planned r6 window, in order."""
+    assert len(R6_WINDOW) == 50
+    got = list(registry.load_all())[:50]
+    assert got == R6_WINDOW
+
+
+def test_helper_imports_register_nothing():
+    """plans.corpus is the shared-helper home precisely so importing a
+    helper can't drag query registrations into the gate window."""
+    import importlib
+
+    mod = importlib.import_module("bigdata_spark_realtime_spark.plans.corpus")
+    assert not any(
+        callable(v) and getattr(v, "__module__", "").endswith("registry")
+        for v in vars(mod).values()
+    )
+    specs = registry.load_all()
+    assert not any(
+        s.fn.__module__.endswith("plans.corpus") for s in specs.values()
+    )
 
 
 def test_per_module_registered_query_counts():
