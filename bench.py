@@ -10,6 +10,11 @@ JSON line::
 are under ``queries``. Each query is executed to completion via a
 count-style action (the driver's collect happens elsewhere; here we
 want plan execution time, not result serialization).
+
+If ANY headline query fails, ``value`` is ``null`` (the failures are
+under ``errors`` and the surviving queries' sum under
+``partial_sum_sec``) — a partial run must never report a smaller, i.e.
+better-looking, total than a clean run.
 """
 
 from __future__ import annotations
@@ -36,8 +41,10 @@ HEADLINE: tuple[str, ...] = (
     "w6_tumbling_window_agg",   # event-time windows
     "j4_order_wide_join",       # 1:N broadcast join, wide projection
     "a4_stats_by_item_top100",  # pushed-down match filter + top-K agg
+    "a2_hourly_counts_topk",    # REST surface: hourly GROUP BY + top-K
     "d1_first_seen_dedup",      # window-rank dedup (one shuffle)
     "serving_dau_realtime",     # dedup + multi-aggregate union
+    "serving_detail_by_item",   # REST surface: filtered detail page + order-by
     "t7_explode_tokens",        # denormalizing explode
     "ext_dedup_exact",          # md5 hash-groupBy dedup
     "ext_dedup_minhash_lsh",    # shingle→minhash→band self-join
@@ -97,18 +104,29 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps(build_payload(timings, errors, SF_DIR)))
+    spark.stop()
+
+
+def build_payload(
+    timings: dict[str, float], errors: dict[str, str], sf_dir: str
+) -> dict:
+    """A failed query poisons the headline total: ``value`` must NEVER
+    look better after a regression, so a partial run reports null (with
+    the surviving sum under ``partial_sum_sec``), not the smaller sum of
+    the queries that happened to survive."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline query wall-clock",
-        "value": round(sum(timings.values()), 3),
+        "value": None if errors else round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
-    spark.stop()
+        payload["partial_sum_sec"] = round(sum(timings.values()), 3)
+    return payload
 
 
 if __name__ == "__main__":

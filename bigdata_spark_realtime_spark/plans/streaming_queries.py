@@ -589,19 +589,24 @@ def stream_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_counts.unionByName(dim_counts)
 
 
-@register(
-    "stream_stratified_sample",
-    oracle="""
+def _stream_sample_oracle() -> str:
+    """Built from ext_sampling's shared SQL fragments so the streamed
+    twin can never silently desynchronize from the batch operator's
+    bucket/rate definitions (one source of truth for both engines)."""
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        _BUCKET_SQL,
+        _RATE_CASE_SQL,
+    )
+
+    return f"""
 SELECT doc_id, lang, source FROM (
-  SELECT doc_id, lang, source,
-         CAST('0x' || substr(md5(doc_id::VARCHAR || ':' || lang), 1, 8) AS BIGINT)
-           % 10000 AS b,
-         CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 WHEN 'es' THEN 10000
-                   WHEN 'de' THEN 10000 WHEN 'fr' THEN 10000 ELSE 5000 END AS rate
+  SELECT doc_id, lang, source, {_BUCKET_SQL} AS b, {_RATE_CASE_SQL} AS rate
   FROM documents
 ) WHERE b < rate
-""",
-)
+"""
+
+
+@register("stream_stratified_sample", oracle=_stream_sample_oracle())
 def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stratified rate sampler running as a Structured Streaming
     map-side pipeline: the documents table replayed as a file-source

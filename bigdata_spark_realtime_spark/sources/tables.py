@@ -47,10 +47,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
 #: ~5 s across one bench pass. Keyed by the live JVM session object
 #: (WeakKeyDictionary: entries die with their session, and a restarted
 #: session can never collide with a dead one's key the way `id()`
-#: reuse could). Caveat: if a table FILE is replaced on disk mid-
-#: session, call `clear_table_cache()` — the driver regenerates
-#: testdata only between processes, so this never triggers in the
-#: gate.
+#: reuse could) AND by the backing file's (mtime_ns, size): an in-place
+#: regeneration of a parquet file naturally misses the memo instead of
+#: serving a plan whose footer/schema snapshot is stale. The driver
+#: regenerates testdata between processes today, but the cache no
+#: longer depends on that.
 import weakref
 
 _TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -60,16 +61,32 @@ def clear_table_cache() -> None:
     _TABLE_CACHE.clear()
 
 
+def _file_sig(path: str) -> tuple:
+    """(mtime_ns, size) fingerprint of a table's backing storage; for a
+    parquet *directory*, the sorted per-entry fingerprints (a replaced,
+    added, or removed part-file changes the signature)."""
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+            )
+        )
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    key = (path, _file_sig(path))
     df = per_session.get(key)
     if df is None:
         ensure_session_confs(spark)
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:
-            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            df = spark.read.parquet(path)
         per_session[key] = df
     return df
 

@@ -250,3 +250,27 @@ def test_events_ts_kind_classification(tmp_path):
             coerce_timestamps=None,
         )
         assert events_ts_kind(path) == want, tag
+
+
+def test_table_cache_misses_on_inplace_regeneration(tmp_path, spark):
+    """The per-session memo is keyed by (path, mtime_ns, size): replacing
+    a parquet file in place — as a testdata regeneration would — must
+    miss the cache and re-read the new footer, not serve the stale plan."""
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    path = str(tmp_path / "region.parquet")
+    pq.write_table(pa.table({"r_regionkey": pa.array([0, 1, 2], pa.int64())}), path)
+    df1 = load_table(spark, str(tmp_path), "region")
+    assert df1.count() == 3
+
+    # rewrite in place with different contents AND force a distinct
+    # mtime (some filesystems have coarse timestamp granularity)
+    pq.write_table(pa.table({"r_regionkey": pa.array([0, 1], pa.int64())}), path)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+
+    df2 = load_table(spark, str(tmp_path), "region")
+    assert df2.count() == 2
+
+    # and an unchanged file still hits the memo (same plan object back)
+    assert load_table(spark, str(tmp_path), "region") is df2
