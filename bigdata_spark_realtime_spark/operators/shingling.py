@@ -1,0 +1,268 @@
+"""Map-side Arrow kernels for shingling, MinHash and SimHash.
+
+Why not explode + window / groupBy: a document's tokens are already
+colocated in its source row, so every per-document reduction here —
+64 minhash minima, 64 SimHash bit sums, the distinct shingle set — is
+computable WITHOUT any shuffle at all. The previous JVM-side shapes
+(posexplode + window-lead shingling feeding a 64-min aggregation)
+shuffled the FULL token stream by doc_id before reducing; at 100 TB
+that token shuffle is the dominant cost term of the whole dedup family
+(round-5 verdict). These kernels stream the corpus through
+``mapInPandas`` in Arrow batches and emit only the reduced rows:
+64 int64s per doc for MinHash, one int64 per doc for SimHash — the
+map-side-combine shape a production LSH job wants.
+
+Why Python md5 is acceptable here: the hash function must be md5 (the
+portable-hash contract with the DuckDB oracles — functions/hashing.py),
+and md5 costs the same order in the JVM and in CPython's hashlib (both
+call native digest code); what this file removes is not hash cost but
+the token-stream exchange + sort. Everything around the digests is
+vectorized numpy over the whole Arrow batch (``np.minimum.reduceat`` /
+``np.add.reduceat`` over per-doc segment boundaries), not per-row
+Python loops.
+
+Semantics are bit-identical to the JVM forms (pinned by the oracle
+gate): tokens = split(text, ' ') keeping empty strings exactly like
+Spark's ``F.split`` / DuckDB's ``string_split``; docs with fewer than
+``w`` tokens produce no shingles (and thus no signature row); SimHash
+consumes every token of every doc, duplicates included.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from bigdata_spark_realtime_spark.functions import hashing as H
+
+_A = np.array(H.MINHASH_A, dtype=np.int64).reshape(-1, 1)  # (K, 1)
+_B = np.array(H.MINHASH_B, dtype=np.int64).reshape(-1, 1)
+
+_SIG_SCHEMA = "doc_id long, " + ", ".join(f"m{j} long" for j in range(H.K))
+
+
+def _toks(text) -> list[str]:
+    # Spark split(text, ' ') with default limit -1: empty strings kept,
+    # NULL text behaves as empty ('' -> [''])
+    return ("" if text is None else text).split(" ")
+
+
+def _shingle_strs(toks: list[str], w: int) -> list[str]:
+    return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+def _h32_arr(strings: list[str]) -> np.ndarray:
+    """h32 of each string (first 8 md5 hex digits as int), as int64."""
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strings),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
+def _doc_rows(docs: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """(doc_id, text) input for a kernel, round-robin widened ONLY when
+    the scan yields fewer partitions than requested.
+
+    The kernels' parallelism equals the input's partition count; a
+    100 TB corpus has orders of magnitude more file splits than cores,
+    so this probe never fires at scale and the corpus is never
+    shuffled. It exists for the small-file end: a single sub-row-group
+    parquet file scans as ONE partition, which would serialize the
+    whole md5 pass on one worker. Callers that advertise a
+    strictly-zero-exchange plan (decontamination's corpus side) pass
+    None."""
+    sel = docs.select("doc_id", "text")
+    if min_parallelism and sel.rdd.getNumPartitions() < min_parallelism:
+        return sel.repartition(min_parallelism)
+    return sel
+
+
+def minhash_signatures(
+    docs: DataFrame, w: int = H.SHINGLE_W, min_parallelism: int | None = None
+) -> DataFrame:
+    """(doc_id, m0..m{K-1}) per doc with ≥ w tokens — zero shuffles.
+
+    Per Arrow batch: one md5 per shingle, then ALL K permutations over
+    the batch's concatenated hash vector as one (K, n_shingles) numpy
+    expression, reduced per doc with ``minimum.reduceat``. Emits K
+    int64s per doc; nothing upstream of the LSH band exchange ever
+    shuffles."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs_parts, starts, pos = [], [], [], 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _shingle_strs(_toks(text), w)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                starts.append(pos)
+                hs_parts.append(_h32_arr(sh) % H.P)
+                pos += len(sh)
+            if not ids:
+                continue
+            hs = np.concatenate(hs_parts)  # (n_shingles,)
+            # universal-hash permutations: values < P^2 ~ 2^60, inside int64
+            sig = (_A * hs + _B) % H.P  # (K, n_shingles)
+            mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+            out = {"doc_id": np.array(ids, dtype=np.int64)}
+            for j in range(H.K):
+                out[f"m{j}"] = mins[j]
+            yield pd.DataFrame(out)
+
+    return _doc_rows(docs, min_parallelism).mapInPandas(gen, _SIG_SCHEMA)
+
+
+def minhash_band_keys(
+    docs: DataFrame, w: int = H.SHINGLE_W, min_parallelism: int | None = None
+) -> DataFrame:
+    """(doc_id, band, k1, k2) LSH band rows straight from the kernel —
+    the minhash signature never materializes as a 65-column frame and
+    the JVM-side band explode disappears; the band-bucket exchange is
+    the FIRST shuffle the dedup pipeline ever does. Key packing is the
+    contract shared with the SQL oracle (functions/hashing.py):
+    k1 = m[4b]·P + m[4b+1], k2 = m[4b+2]·P + m[4b+3] < P² ≈ 2^60."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs_parts, starts, pos = [], [], [], 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _shingle_strs(_toks(text), w)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                starts.append(pos)
+                hs_parts.append(_h32_arr(sh) % H.P)
+                pos += len(sh)
+            if not ids:
+                continue
+            hs = np.concatenate(hs_parts)
+            sig = (_A * hs + _B) % H.P
+            mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+            n = len(ids)
+            ids_arr = np.array(ids, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids_arr, H.N_BANDS),
+                    "band": np.tile(
+                        np.arange(H.N_BANDS, dtype=np.int32), n
+                    ),
+                    "k1": (mins[0::4] * H.P + mins[1::4]).T.reshape(-1),
+                    "k2": (mins[2::4] * H.P + mins[3::4]).T.reshape(-1),
+                }
+            )
+
+    return _doc_rows(docs, min_parallelism).mapInPandas(
+        gen, "doc_id long, band int, k1 long, k2 long"
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, w: int = H.SHINGLE_W, min_parallelism: int | None = None
+) -> DataFrame:
+    """(doc_id, shingles array<string>) — the DISTINCT w-shingle set per
+    doc with ≥ w tokens, assembled map-side (replaces explode + window +
+    collect_set: two token-level shuffles → zero). Set order is
+    first-occurrence; consumers are order-insensitive (array_intersect /
+    array_union)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sets = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _shingle_strs(_toks(text), w)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                sets.append(list(dict.fromkeys(sh)))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.array(ids, dtype=np.int64), "shingles": sets}
+            )
+
+    return _doc_rows(docs, min_parallelism).mapInPandas(
+        gen, "doc_id long, shingles array<string>"
+    )
+
+
+def shingle_rows(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, shingle) DISTINCT-per-doc rows, emitted map-side with no
+    window and no shuffle — the decontamination shape: the corpus side
+    stays un-exchanged all the way into the broadcast semi-join."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for s in dict.fromkeys(_shingle_strs(_toks(text), w)):
+                    ids.append(doc_id)
+                    shingles.append(s)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.array(ids, dtype=np.int64), "shingle": shingles}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, shingle string"
+    )
+
+
+_SHIFTS = np.arange(32, dtype=np.int64)
+_COMBINE_W = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+_SIGN_BIT = np.int64(-9223372036854775807 - 1)  # -2^63 (two's complement)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, min_parallelism: int | None = None
+) -> DataFrame:
+    """(doc_id, simhash int64) per doc — zero shuffles.
+
+    Per batch: one md5 per token (both 32-bit halves of one digest),
+    ±1 bit contributions as a (n_tokens, 64) matrix, per-doc sums via
+    ``add.reduceat``, fingerprint bit i = sign of sum i with bit 63
+    applied as -2^63 exactly like the JVM/DuckDB forms."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _toks(text)  # never empty: '' splits to ['']
+                digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+                ids.append(doc_id)
+                starts.append(pos)
+                lo_parts.append(
+                    np.fromiter((int(d[:8], 16) for d in digs), np.int64, len(digs))
+                )
+                hi_parts.append(
+                    np.fromiter((int(d[8:16], 16) for d in digs), np.int64, len(digs))
+                )
+                pos += len(digs)
+            if not ids:
+                continue
+            lo = np.concatenate(lo_parts)
+            hi = np.concatenate(hi_parts)
+            # (n_tokens, 64) of ±1: bits 0..31 from h_lo, 32..63 from h_hi
+            contrib = np.concatenate(
+                [
+                    ((lo[:, None] >> _SHIFTS) & 1) * 2 - 1,
+                    ((hi[:, None] >> _SHIFTS) & 1) * 2 - 1,
+                ],
+                axis=1,
+            )
+            sums = np.add.reduceat(contrib, np.array(starts), axis=0)  # (n_docs, 64)
+            pos_bits = sums > 0
+            # positive terms sum to <= 2^63 - 1: no int64 overflow before
+            # the final negative sign-bit term
+            v = (pos_bits[:, :63] * _COMBINE_W).sum(axis=1, dtype=np.int64)
+            v = v + np.where(pos_bits[:, 63], _SIGN_BIT, np.int64(0))
+            yield pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "simhash": v})
+
+    return _doc_rows(docs, min_parallelism).mapInPandas(
+        gen, "doc_id long, simhash long"
+    )

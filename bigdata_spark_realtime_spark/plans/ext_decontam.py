@@ -14,9 +14,12 @@ BROADCAST to every executor and the corpus-side check is a map-side
 hash-join on the shingle string: the corpus — the 100 TB side — is
 never shuffled by this operator at all. The only aggregation is the
 per-document hit count, a shuffle of hit rows only (contamination is
-rare by construction). Same explode+lead shingling as MinHash
-(`ext_dedup._shingle_rows_docs`) — one tokenize pass, whole-stage
-codegen.
+rare by construction). Shingling is the map-side Arrow kernel
+(`operators/shingling.shingle_rows`): the corpus tokenizes, shingles
+and dedups per doc inside its own partition, so the 100 TB side
+reaches the broadcast join with ZERO exchanges — the earlier
+explode + window-lead form shuffled the full corpus token stream by
+doc_id before the join.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import hashing as H
-from bigdata_spark_realtime_spark.plans.ext_dedup import _shingle_rows_docs
+from bigdata_spark_realtime_spark.operators.shingling import shingle_rows
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
@@ -69,14 +72,13 @@ def decontaminate(docs: DataFrame, w: int = CONTAM_W) -> DataFrame:
     corpus = docs.where(F.col("source") != EVAL_SOURCE)
     # eval shingle set: small by contract -> explicit broadcast, the
     # corpus side stays un-shuffled (map-side semi of the 100 TB side)
-    ev_shingles = _shingle_rows_docs(ev, w).select("shingle").distinct()
-    # join BEFORE dedup: the broadcast semi-filter runs map-side over
-    # the full corpus shingle stream (no shuffle of the 100 TB side);
-    # only the surviving hit rows — rare by construction — reach the
-    # count-distinct shuffle
-    hits = _shingle_rows_docs(corpus, w).join(
-        F.broadcast(ev_shingles), "shingle"
-    )
-    return hits.groupBy("doc_id").agg(
-        F.count_distinct("shingle").alias("n_hits")
-    )
+    ev_shingles = shingle_rows(ev, w).select("shingle").distinct()
+    # join BEFORE any aggregation: the broadcast semi-filter runs
+    # map-side over the corpus shingle rows (already per-doc-distinct
+    # from the kernel); only the surviving hit rows — rare by
+    # construction — reach the per-doc count shuffle
+    hits = shingle_rows(corpus, w).join(F.broadcast(ev_shingles), "shingle")
+    # plain count, NOT count_distinct: the kernel emits each (doc,
+    # shingle) at most once, and count_distinct would compile to a
+    # second aggregation exchange for nothing
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

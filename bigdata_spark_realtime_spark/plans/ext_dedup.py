@@ -102,65 +102,36 @@ cand AS (
 MINHASH_ORACLE = _SIG_CTE + "SELECT doc_a, doc_b FROM cand"
 
 
-def _shingle_rows_docs(docs: DataFrame, w: int = H.SHINGLE_W) -> DataFrame:
-    """(doc_id, shingle) rows via posexplode + window lead.
-
-    Deliberately NOT an array-lambda (`transform(sequence(...), i ->
-    element_at(toks, i+1) ...)`): higher-order functions run interpreted,
-    Catalyst re-inlines `split(text)` into every element_at call (O(n²)
-    per doc), and predicate pushdown duplicates the whole tree into
-    join-key null checks — measured 30 s+ at sf0.1. The explode+lead
-    shape tokenizes once, stays in whole-stage codegen, and its shuffle
-    key (doc_id) is exactly how shingling parallelizes on a cluster."""
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t0")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("t0", i).over(win).alias(f"t{i}") for i in range(1, w)]
-    return (
-        tok.select("doc_id", "t0", *leads)
-        .where(F.col(f"t{w-1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"t{i}" for i in range(w)]).alias("shingle"),
-        )
-    )
-
-
-def _shingle_rows(spark: SparkSession, sf_dir: str, w: int = H.SHINGLE_W) -> DataFrame:
-    return _shingle_rows_docs(load_table(spark, sf_dir, "documents"), w)
-
-
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → distinct 3-token shingle set (array column, for Jaccard)."""
-    return (
-        _shingle_rows(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shingles"))
+    """doc_id → distinct 3-token shingle set (array column, for Jaccard),
+    assembled map-side (operators/shingling.py) — no token shuffle."""
+    from bigdata_spark_realtime_spark.operators.shingling import shingle_sets
+
+    return shingle_sets(
+        load_table(spark, sf_dir, "documents"),
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
 def _signatures_docs(docs: DataFrame) -> DataFrame:
-    """doc_id + K minhash columns m0..m{K-1}: hash each shingle once
-    (codegen'd md5), reduce to K mins in one partial+final aggregation.
-    Duplicate shingles can't change a minimum, so no distinct needed.
+    """doc_id + K minhash columns m0..m{K-1}, computed entirely map-side
+    (operators/shingling.py: shingle → md5 → all K permutations over the
+    Arrow batch → per-doc partial min via ``minimum.reduceat``).
 
-    Each aggregate is a single ``F.expr`` SQL string, not a Column
-    tree: building 64 five-node Column expressions costs ~400 py4j
-    round-trips (~1 ms each) — measured at ~45% of this query's
-    steady-state wall-clock. The parsed plan is identical."""
-    hashed = _shingle_rows_docs(docs).select(
-        "doc_id", (H.h32(F.col("shingle")) % H.P).alias("h")
+    History of this shape: an array-lambda form (transform(sequence...))
+    ran interpreted with Catalyst re-inlining split(text) per element —
+    30 s+ at sf0.1; the round-3..5 posexplode + window-lead +
+    64-min-aggregation form fixed that but shuffled the FULL token
+    stream by doc_id before reducing — the dominant 100×-scale term of
+    the dedup family (round-5 verdict). The mapInPandas kernel emits 64
+    int64s per doc with ZERO exchanges upstream of the LSH band bucket
+    shuffle (pinned by tests/test_plan_hygiene.py)."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        minhash_signatures,
     )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"min(({H.MINHASH_A[j]} * h + {H.MINHASH_B[j]}) % {H.P}) AS m{j}"
-            )
-            for j in range(H.K)
-        ]
+
+    return minhash_signatures(
+        docs, min_parallelism=docs.sparkSession.sparkContext.defaultParallelism
     )
 
 
@@ -228,18 +199,15 @@ def _bucket_pairs(bands: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     big = tagged.where(F.col("n") > MAX_BUCKET_COLLECT)
 
     buckets = small.groupBy(*key_cols).agg(F.collect_list("doc_id").alias("ids"))
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform("ids", lambda y: F.struct(x.alias("a"), y.alias("b"))),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
-    )
-    small_pairs = buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-    )
+    # single F.expr string, not nested F.transform lambdas: the lambda
+    # Column trees cost hundreds of py4j round-trips to build (the r5
+    # profiling finding); the parsed plan is identical
+    small_pairs = buckets.select(
+        F.expr(
+            "explode(filter(flatten(transform(ids, x -> transform(ids, "
+            "y -> struct(x AS a, y AS b)))), p -> p.a < p.b)) AS p"
+        )
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
 
     left = big.select(*key_cols, F.col("doc_id").alias("doc_a"))
     right = big.select(*key_cols, F.col("doc_id").alias("doc_b"))
@@ -256,8 +224,25 @@ def _candidates(sig: DataFrame) -> DataFrame:
     by band bucket, emit doc_id pairs inside each bucket. One shuffle on
     the bucket key; bucket sizes are tiny by LSH design, and degenerate
     buckets take the skew-guarded join path — the shape that survives
-    100 TB."""
+    100 TB. (Signature-frame entry point, used by tests that plant
+    synthetic signatures; the registered queries take the fused
+    kernel path below.)"""
     return _bucket_pairs(_bands(sig), ("band", "k1", "k2"))
+
+
+def _candidates_from_docs(docs: DataFrame) -> DataFrame:
+    """Fused fast path: the kernel emits (doc_id, band, k1, k2) band
+    rows directly — the 65-column signature frame and its JVM band
+    explode never exist, and the band-bucket exchange is the first
+    shuffle of the whole pipeline."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        minhash_band_keys,
+    )
+
+    bands = minhash_band_keys(
+        docs, min_parallelism=docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return _bucket_pairs(bands, ("band", "k1", "k2"))
 
 
 @register("ext_dedup_minhash_lsh", oracle=MINHASH_ORACLE)
@@ -267,7 +252,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation. 1−(1−s⁴)^16 ≈ 0.9998 candidate recall at the
     Jaccard-0.8 verify threshold; the only shuffle keys are the band
     buckets."""
-    return _candidates(_signatures(spark, sf_dir))
+    return _candidates_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +291,7 @@ def ext_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_spark_realtime_spark.operators.components import resolve_keepers
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _candidates(_signatures(spark, sf_dir))
+    pairs = _candidates_from_docs(load_table(spark, sf_dir, "documents"))
     return resolve_keepers(docs, "doc_id", pairs, "doc_a", "doc_b")
 
 
@@ -337,7 +322,7 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (MEMORY_AND_DISK — spills rather than OOMs at corpus scale) so the
     # shingling pass runs once, mirroring the oracle's MATERIALIZED sh
     sh = _shingle_sets(spark, sf_dir).persist()
-    cand = _candidates(_signatures(spark, sf_dir))
+    cand = _candidates_from_docs(load_table(spark, sf_dir, "documents"))
     s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
@@ -394,34 +379,18 @@ FROM bits
 @register("ext_dedup_simhash", oracle=SIMHASH_ORACLE)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-token 64-bit hash (two md5 halves), ±1 sign sum per
-    bit position, fingerprint bit = sign of the sum. explode → single
-    partial+final aggregation (64 sums), no per-row Python."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select(
-        "doc_id",
-        H.h32(F.col("tok")).alias("h_lo"),
-        H.h32b(F.col("tok")).alias("h_hi"),
+    bit position, fingerprint bit = sign of the sum — computed map-side
+    in one Arrow pass (operators/shingling.py), one int64 out per doc.
+    The previous explode + 64-sum aggregation shuffled every token by
+    doc_id first; a doc's tokens already sit in its source row, so the
+    reduction needs no exchange at all."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        simhash_fingerprints,
     )
-    # single-F.expr SQL strings: the 64 CASE-sum aggregates plus the
-    # 64-term combine build >700 py4j round-trips as Column trees —
-    # measured at ~half this query's steady-state wall-clock. Identical
-    # parsed plans, one round-trip per expression.
-    bit_sums = [
-        F.expr(
-            f"sum(CASE WHEN (shiftright({'h_lo' if i < 32 else 'h_hi'}, {i % 32})"
-            f" & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
-        )
-        for i in range(SIMHASH_BITS)
-    ]
-    bits = tok.groupBy("doc_id").agg(*bit_sums)
-    combine_sql = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN {1 << i}L ELSE 0L END)"
-        for i in range(SIMHASH_BITS - 1)
-    ) + " + (CASE WHEN s63 > 0 THEN (CAST(-9223372036854775807 AS BIGINT) - 1) ELSE 0L END)"
-    return bits.select(
-        "doc_id", F.expr(f"CAST({combine_sql} AS BIGINT) AS simhash")
+
+    return simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

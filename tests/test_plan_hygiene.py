@@ -149,6 +149,43 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "corpus side must not shuffle for the join"
 
 
+def test_shingling_kernels_are_shuffle_free(spark, sf_dir):
+    """The round-6 scale fix: MinHash signatures, shingle sets and
+    SimHash fingerprints reduce per doc INSIDE the source partition
+    (mapInPandas), so the full token stream is never exchanged — the
+    term that dominated the dedup family at 100× scale. Zero Exchange
+    nodes upstream of the LSH band shuffle."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        minhash_signatures,
+        shingle_sets,
+        shingle_rows,
+        simhash_fingerprints,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for frame in (
+        minhash_signatures(docs),
+        shingle_sets(docs),
+        shingle_rows(docs, 8),
+        simhash_fingerprints(docs),
+    ):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+    """End-to-end decontamination carries exactly two shuffles — the
+    (small) eval-shingle distinct and the per-doc hit count — and the
+    100 TB corpus side reaches the broadcast join straight from its
+    map-side shingle kernel."""
+    plan = _plan(spark, sf_dir, "ext_decontaminate")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (

@@ -3,6 +3,8 @@ able to shrink silently (round-2 judge task #8)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bigdata_spark_realtime_spark.plans import registry
@@ -80,9 +82,31 @@ R6_WINDOW = [
 
 def test_r6_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r6 window, in order."""
+    must be exactly the planned r6 window, in order.
+
+    Asserted in a FRESH interpreter: the gate runs a fresh process, and
+    in-process pytest ordering is polluted — any earlier test module
+    that imports a plan module (e.g. test_decontam_packing importing
+    ext_decontam) registers its queries ahead of load_all's canonical
+    module walk."""
+    import json
+    import subprocess
+    import sys
+
     assert len(R6_WINDOW) == 50
-    got = list(registry.load_all())[:50]
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import json; from bigdata_spark_realtime_spark.plans import registry; "
+            "print(json.dumps(list(registry.load_all())[:50]))",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got == R6_WINDOW
 
 
