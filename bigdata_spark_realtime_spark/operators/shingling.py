@@ -213,6 +213,42 @@ def shingle_rows(docs: DataFrame, w: int) -> DataFrame:
     )
 
 
+def repetition_metrics(
+    docs: DataFrame,
+    widths: tuple[int, ...] = (2, 3),
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Per-doc n-gram repetition counts (the Gopher/MassiveText quality
+    rules' raw ingredients): for each width w, the total and distinct
+    w-gram counts — reduced map-side in the source partition, zero
+    shuffles, no hashing needed (plain set cardinality)."""
+    cols = ", ".join(
+        f"total_{w} long, distinct_{w} long" for w in widths
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "n_tokens": []}
+            for w in widths:
+                out[f"total_{w}"] = []
+                out[f"distinct_{w}"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _toks(text)
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(len(toks))
+                for w in widths:
+                    grams = _shingle_strs(toks, w)
+                    out[f"total_{w}"].append(len(grams))
+                    out[f"distinct_{w}"].append(len(set(grams)))
+            if not out["doc_id"]:
+                continue
+            yield pd.DataFrame(out)
+
+    return _doc_rows(docs, min_parallelism).mapInPandas(
+        gen, f"doc_id long, n_tokens long, {cols}"
+    )
+
+
 _SHIFTS = np.arange(32, dtype=np.int64)
 _COMBINE_W = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
 _SIGN_BIT = np.int64(-9223372036854775807 - 1)  # -2^63 (two's complement)

@@ -1,0 +1,147 @@
+"""Extension operators: corpus-quality filters for pre-training data.
+
+Two additions to the training-pipeline surface beyond the round-5 text
+suite (plans/ext_text.py):
+
+- ``ext_text_repetition``: the Gopher/MassiveText repetition rule —
+  documents whose duplicate n-gram fraction is high are boilerplate /
+  degenerate generations and must be dropped before training. Raw
+  counts come from the map-side kernel
+  (operators/shingling.repetition_metrics — zero shuffles); the
+  fractions, thresholds and keep flag are plain codegen arithmetic.
+
+- ``ext_text_boilerplate_ngrams``: corpus-wide document-frequency
+  top-K of 3-gram shingles — the standard way to DISCOVER boilerplate
+  (cookie banners, navigation chrome) before writing removal rules.
+  Per-doc-distinct shingle rows are emitted map-side
+  (operators/shingling.shingle_rows), so the only shuffle is the
+  count aggregation, and the top-K compiles to TakeOrderedAndProject
+  (K × n_partitions rows at the driver, never a global sort).
+
+Both register AFTER the round-6 gate window (plans/registry.py): they
+are covered by the local all-queries oracle mirror this round and
+rotate into the external window next.
+
+Reference parity: the reference has no corpus-quality surface; this
+extends SURVEY.md §2's ext suite (100 TB training-data contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_spark_realtime_spark.functions import hashing as H
+from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: Gopher-style thresholds on the duplicate n-gram fraction
+#: (1 - distinct/total): above these the document is dropped
+DUP_2GRAM_MAX = 0.20
+DUP_3GRAM_MAX = 0.18
+
+# DuckDB twins of the kernel's counts: n-grams via list_transform over
+# the token list (DuckDB HOFs are vectorized; the Spark side deliberately
+# does NOT use its interpreted HOF equivalent — see
+# plans/ext_dedup._signatures_docs history note)
+_G2 = "list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])"
+_G3 = H.shingles_sql("toks", 3)
+
+REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN {_G2} ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN {_G3} ELSE [] END AS g3
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         round(coalesce(1.0 - len(list_distinct(g2))::DOUBLE / nullif(len(g2), 0), 0.0), 4) AS dup2_frac,
+         round(coalesce(1.0 - len(list_distinct(g3))::DOUBLE / nullif(len(g3), 0), 0.0), 4) AS dup3_frac
+  FROM g
+)
+SELECT doc_id, dup2_frac, dup3_frac,
+       CAST(dup2_frac <= {DUP_2GRAM_MAX} AND dup3_frac <= {DUP_3GRAM_MAX} AS BOOLEAN) AS keep
+FROM m
+"""
+
+
+@register("ext_text_repetition", oracle=REPETITION_ORACLE)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup2_frac, dup3_frac, keep): duplicate n-gram fractions
+    and the Gopher-rule keep flag. Counts reduce map-side in one Arrow
+    pass; the only Exchange ever planned is the small-input round-robin
+    widening (operators/shingling._doc_rows), which never fires at
+    scale — on a real corpus the plan is exchange-free and composes
+    with any upstream partitioning exactly like the stratified
+    sampler."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        repetition_metrics,
+    )
+
+    m = repetition_metrics(
+        load_table(spark, sf_dir, "documents"),
+        widths=(2, 3),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    dup2 = F.round(
+        F.coalesce(
+            F.lit(1.0)
+            - F.col("distinct_2").cast("double")
+            / F.nullif(F.col("total_2"), F.lit(0)),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    dup3 = F.round(
+        F.coalesce(
+            F.lit(1.0)
+            - F.col("distinct_3").cast("double")
+            / F.nullif(F.col("total_3"), F.lit(0)),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    return m.select(
+        "doc_id",
+        dup2.alias("dup2_frac"),
+        dup3.alias("dup3_frac"),
+        (
+            (dup2 <= DUP_2GRAM_MAX) & (dup3 <= DUP_3GRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+TOP_NGRAMS = 20
+
+BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({H.shingles_sql('toks')})) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= {H.SHINGLE_W}
+)
+SELECT shingle, count(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT {TOP_NGRAMS}
+"""
+
+
+@register("ext_text_boilerplate_ngrams", oracle=BOILERPLATE_ORACLE)
+def ext_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} 3-gram shingles by document frequency — boilerplate
+    discovery. Map-side per-doc-distinct shingle rows → ONE shuffle
+    (the count aggregation) → TakeOrderedAndProject. Ties broken by
+    shingle ascending so the cut is deterministic on both engines."""
+    from bigdata_spark_realtime_spark.operators.shingling import shingle_rows
+
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"), H.SHINGLE_W)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(TOP_NGRAMS)
+    )

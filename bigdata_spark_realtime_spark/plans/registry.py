@@ -78,6 +78,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
+    # new this round, registered AFTER the pinned window (51+): covered
+    # by the local oracle mirror now, rotate into the external gate next
+    "bigdata_spark_realtime_spark.plans.ext_quality",
 )
 
 

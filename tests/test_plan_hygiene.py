@@ -186,6 +186,23 @@ def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
 
 
+def test_repetition_filter_has_no_hash_exchange(spark, sf_dir):
+    """The Gopher repetition filter reduces per doc map-side: the only
+    Exchange permitted is the small-input RoundRobin widening (never a
+    hashpartitioning — that would mean a per-key shuffle crept in)."""
+    plan = _plan(spark, sf_dir, "ext_text_repetition")
+    assert "hashpartitioning" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_boilerplate_topk_single_shuffle_and_topk(spark, sf_dir):
+    """Boilerplate discovery: map-side shingle rows → one count shuffle →
+    TakeOrderedAndProject (no global sort of the n-gram vocabulary)."""
+    plan = _plan(spark, sf_dir, "ext_text_boilerplate_ngrams")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (

@@ -35,6 +35,7 @@ EXPECTED_PER_MODULE = {
     "ext_decontam": 1,
     "ext_packing": 1,
     "ext_ivf": 1,
+    "ext_quality": 2,
     "streaming_queries": 8,
 }
 
