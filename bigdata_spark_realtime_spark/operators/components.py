@@ -76,6 +76,10 @@ def connected_components(
             own = labels.select(
                 "id", "component", F.col("component").alias("old")
             )
+            # NON-eager checkpoint: the convergence count below is the
+            # materializing action, so each round runs ONE job
+            # (join + agg + store + count) instead of an eager-checkpoint
+            # job followed by a count job re-reading the stored blocks
             stepped = (
                 nbr.unionByName(own)
                 .groupBy("id")
@@ -83,7 +87,7 @@ def connected_components(
                     F.min("component").alias("component"),
                     F.max("old").alias("old"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             changed = stepped.where(F.col("component") != F.col("old")).count()
             # release the superseded round's checkpointed blocks — without

@@ -230,6 +230,23 @@ def _candidates(sig: DataFrame) -> DataFrame:
     return _bucket_pairs(_bands(sig), ("band", "k1", "k2"))
 
 
+#: per-session memo of the LSH candidate-pair DataFrame, keyed by the
+#: identity of the (already session-memoized — sources/tables.py) docs
+#: frame. Three queries consume the SAME candidate set (minhash_lsh,
+#: resolve, ngram_jaccard); without the memo each rebuilds the pipeline
+#: and — because two pickles of the kernel closure are different bytes —
+#: Spark's cache-by-canonical-plan can never unify them, so the
+#: persist()ed tagged frame inside _bucket_pairs is re-materialized per
+#: query. Returning one DataFrame object makes every consumer hit the
+#: same cache entry, exactly like a production dedup pipeline that
+#: materializes candidates once and fans out. Entries die with the
+#: session; a regenerated table yields a new docs frame (mtime-keyed
+#: loader memo) and therefore a fresh entry.
+import weakref
+
+_CAND_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _candidates_from_docs(docs: DataFrame) -> DataFrame:
     """Fused fast path: the kernel emits (doc_id, band, k1, k2) band
     rows directly — the 65-column signature frame and its JVM band
@@ -239,10 +256,17 @@ def _candidates_from_docs(docs: DataFrame) -> DataFrame:
         minhash_band_keys,
     )
 
+    memo = _CAND_MEMO.setdefault(docs.sparkSession, {})
+    entry = memo.get(id(docs))
+    if entry is not None and entry[0] is docs:
+        return entry[1]
     bands = minhash_band_keys(
         docs, min_parallelism=docs.sparkSession.sparkContext.defaultParallelism
     )
-    return _bucket_pairs(bands, ("band", "k1", "k2"))
+    cand = _bucket_pairs(bands, ("band", "k1", "k2"))
+    # hold the docs ref so its id() stays unique for the memo's lifetime
+    memo[id(docs)] = (docs, cand)
+    return cand
 
 
 @register("ext_dedup_minhash_lsh", oracle=MINHASH_ORACLE)

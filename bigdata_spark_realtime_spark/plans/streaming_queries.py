@@ -70,12 +70,14 @@ _ORDER_DETAIL_COLS = (
 _TTL_MS = 24 * 3600_000
 
 
-def _drain_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
     name = f"q_{uuid.uuid4().hex[:10]}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .start()
     )
     q.processAllAvailable()
@@ -617,13 +619,26 @@ def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL. This is the shape a continuous ingest pipeline uses:
     stateless curation needs no watermarks and no state store, so it
     rides the stream at full map throughput."""
-    import hashlib
-
     from bigdata_spark_realtime_spark.plans.ext_sampling import (
         DEFAULT_RATE,
         STRATA_RATES,
         _sample_bucket,
     )
+
+    stream = _docs_stream(spark, sf_dir)
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    sampled = stream.where(bucket < rate).select("doc_id", "lang", "source")
+    return _drain_to_memory(sampled, spark)
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table as a file-source stream (the file
+    source needs a directory, so the single parquet file is exposed
+    through a symlinked dir keyed by its full source path)."""
+    import hashlib
 
     path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     schema = spark.read.parquet(path).schema
@@ -635,10 +650,40 @@ def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stream_dir, "documents.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    stream = spark.readStream.schema(schema).parquet(stream_dir)
-    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
-    rate = F.lit(DEFAULT_RATE)
-    for k, v in STRATA_RATES.items():
-        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    sampled = stream.where(bucket < rate).select("doc_id", "lang", "source")
-    return _drain_to_memory(sampled, spark)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def _stream_decontam_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_decontam import DECONTAM_ORACLE
+
+    return DECONTAM_ORACLE
+
+
+@register("stream_decontaminate", oracle=_stream_decontam_oracle())
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination on a live ingest stream — the production
+    shape for continuous corpus intake: the eval set is FIXED (batch
+    side, its distinct 8-gram shingles broadcast), the corpus STREAMS.
+    Each micro-batch runs the identical map-side shingle kernel
+    (operators/shingling.shingle_rows works unchanged on a streaming
+    frame — it is a stateless mapInPandas), hits survive the broadcast
+    stream-static join, and per-doc hit counts accumulate in complete
+    mode. Oracle = the batch operator's SQL: a pure-function pipeline
+    gives the same answer streamed or batched."""
+    from bigdata_spark_realtime_spark.operators.shingling import shingle_rows
+    from bigdata_spark_realtime_spark.plans.ext_decontam import (
+        CONTAM_W,
+        EVAL_SOURCE,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "documents").where(
+        F.col("source") == EVAL_SOURCE
+    )
+    ev_shingles = shingle_rows(ev, CONTAM_W).select("shingle").distinct()
+    corpus = _docs_stream(spark, sf_dir).where(F.col("source") != EVAL_SOURCE)
+    hits = shingle_rows(corpus, CONTAM_W).join(
+        F.broadcast(ev_shingles), "shingle"
+    )
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return _drain_to_memory(counts, spark, output_mode="complete")
