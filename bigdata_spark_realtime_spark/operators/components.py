@@ -52,10 +52,18 @@ def connected_components(
     # itself OOMs near ~15 rounds); truncating to the materialized result
     # keeps every round's plan constant-size. On a real cluster use
     # reliable checkpointing if executor loss during the loop matters.
+    # initialization IS the first propagation round: from identity
+    # labels, one BSP step yields min(self, neighbors) — and `sym`
+    # already has every neighbor per vertex, so that round needs no
+    # join at all. Shallow (clique-like) near-dup clusters converge
+    # here immediately and the loop's first iteration just confirms it.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("id"),
+            F.least("u", "mn").alias("component"),
+        )
         .localCheckpoint()
     )
     ckpt = labels  # the checkpointed frame backing `labels` (release handle)

@@ -45,8 +45,10 @@ _SIG_SCHEMA = "doc_id long, " + ", ".join(f"m{j} long" for j in range(H.K))
 
 
 def _toks(text) -> list[str]:
-    # Spark split(text, ' ') with default limit -1: empty strings kept,
-    # NULL text behaves as empty ('' -> [''])
+    # Spark split(text, ' ') with default limit -1: empty strings kept.
+    # NULL handling is per-kernel: shingle producers treat NULL as empty
+    # (no shingles either way); simhash DROPS null-text docs to match
+    # split(NULL)/unnest(NULL) semantics on the SQL side.
     return ("" if text is None else text).split(" ")
 
 
@@ -268,6 +270,10 @@ def simhash_fingerprints(
         for pdf in batches:
             ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # match split(NULL)/unnest(NULL): the doc vanishes
+                    # (the old explode-based plan dropped it the same way)
+                    continue
                 toks = _toks(text)  # never empty: '' splits to ['']
                 digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
                 ids.append(doc_id)
