@@ -65,6 +65,28 @@ def _h32_arr(strings: list[str]) -> np.ndarray:
     )
 
 
+#: memo of the partition-count probe, keyed by the input frame's
+#: identity (the loader memoizes table frames per session, so identity
+#: is stable): df.rdd.getNumPartitions() costs a ~70 ms plan→RDD
+#: conversion per call, and every kernel invocation would pay it
+import weakref
+
+_NPART_MEMO: "weakref.WeakValueDictionary[int, DataFrame]" = (
+    weakref.WeakValueDictionary()
+)
+_NPART: dict[int, int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    key = id(df)
+    if _NPART_MEMO.get(key) is df:
+        return _NPART[key]
+    n = df.rdd.getNumPartitions()
+    _NPART_MEMO[key] = df  # weak: entry dies with the frame, id can't alias
+    _NPART[key] = n
+    return n
+
+
 def _doc_rows(docs: DataFrame, min_parallelism: int | None) -> DataFrame:
     """(doc_id, text) input for a kernel, round-robin widened ONLY when
     the scan yields fewer partitions than requested.
@@ -78,7 +100,7 @@ def _doc_rows(docs: DataFrame, min_parallelism: int | None) -> DataFrame:
     strictly-zero-exchange plan (decontamination's corpus side) pass
     None."""
     sel = docs.select("doc_id", "text")
-    if min_parallelism and sel.rdd.getNumPartitions() < min_parallelism:
+    if min_parallelism and _num_partitions(docs) < min_parallelism:
         return sel.repartition(min_parallelism)
     return sel
 

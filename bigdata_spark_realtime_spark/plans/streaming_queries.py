@@ -687,3 +687,55 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
     return _drain_to_memory(counts, spark, output_mode="complete")
+
+
+def _stream_minhash_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_dedup import MINHASH_ORACLE
+
+    return MINHASH_ORACLE
+
+
+@register("stream_dedup_minhash", oracle=_stream_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup intake — the LLM-pipeline shape for MinHash
+    dedup at ingest time: incoming documents stream through the SAME
+    map-side band-key kernel as the batch path and stream-static join
+    against the standing corpus index on the band bucket; each arriving
+    doc surfaces its candidate pairs immediately instead of waiting for
+    a nightly batch. Replaying the whole corpus as the stream against
+    its own static index yields exactly the batch operator's candidate
+    set (each unordered pair once via doc_a < doc_b), so the oracle is
+    the batch SQL.
+
+    Scale notes: the static index side is the materialized band-key
+    table a production deployment maintains (64 ints/doc); the
+    per-micro-batch join shuffles only band rows of the batch plus the
+    matching buckets. Degenerate buckets need the batch path's skew
+    fallback (plans/ext_dedup._bucket_pairs) — at ingest time a hot
+    bucket inflates a single micro-batch, which back-pressures rather
+    than OOMs. Pair dedup across micro-batches is the complete-mode
+    aggregation (state = |candidate pairs|, bounded by LSH design)."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        minhash_band_keys,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    corpus = minhash_band_keys(
+        load_table(spark, sf_dir, "documents"),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    arriving = minhash_band_keys(_docs_stream(spark, sf_dir))
+    cand = (
+        arriving.alias("a")
+        .join(corpus.alias("b"), ["band", "k1", "k2"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    # DISTINCT across bands and micro-batches: complete-mode aggregation
+    pairs = cand.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n"))
+    return _drain_to_memory(pairs, spark, output_mode="complete").select(
+        "doc_a", "doc_b"
+    )

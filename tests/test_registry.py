@@ -36,7 +36,7 @@ EXPECTED_PER_MODULE = {
     "ext_packing": 1,
     "ext_ivf": 1,
     "ext_quality": 2,
-    "streaming_queries": 9,
+    "streaming_queries": 10,
 }
 
 #: The exact first-50 registration window the round-6 external
