@@ -241,14 +241,20 @@ def repetition_metrics(
     docs: DataFrame,
     widths: tuple[int, ...] = (2, 3),
     min_parallelism: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc n-gram repetition counts (the Gopher/MassiveText quality
     rules' raw ingredients): for each width w, the total and distinct
     w-gram counts — reduced map-side in the source partition, zero
-    shuffles, no hashing needed (plain set cardinality)."""
+    shuffles, no hashing needed (plain set cardinality).
+
+    ``passthrough`` columns are echoed alongside the counts so a
+    composed pipeline can keep filtering map-side instead of paying a
+    join back to the source frame for them (string columns only)."""
     cols = ", ".join(
         f"total_{w} long, distinct_{w} long" for w in widths
     )
+    extra = "".join(f", {c} string" for c in passthrough)
 
     def gen(batches):
         for pdf in batches:
@@ -256,21 +262,30 @@ def repetition_metrics(
             for w in widths:
                 out[f"total_{w}"] = []
                 out[f"distinct_{w}"] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = _toks(text)
-                out["doc_id"].append(doc_id)
+            for c in passthrough:
+                out[c] = []
+            for row in pdf.itertuples(index=False):
+                toks = _toks(row.text)
+                out["doc_id"].append(row.doc_id)
                 out["n_tokens"].append(len(toks))
                 for w in widths:
                     grams = _shingle_strs(toks, w)
                     out[f"total_{w}"].append(len(grams))
                     out[f"distinct_{w}"].append(len(set(grams)))
+                for c in passthrough:
+                    out[c].append(getattr(row, c))
             if not out["doc_id"]:
                 continue
             yield pd.DataFrame(out)
 
-    return _doc_rows(docs, min_parallelism).mapInPandas(
-        gen, f"doc_id long, n_tokens long, {cols}"
+    # keep passthrough columns in the kernel's input projection (the
+    # plain _doc_rows helper projects them away)
+    inp = docs.select(
+        "doc_id", "text", *(c for c in passthrough if c not in ("doc_id", "text"))
     )
+    if min_parallelism and _num_partitions(docs) < min_parallelism:
+        inp = inp.repartition(min_parallelism)
+    return inp.mapInPandas(gen, f"doc_id long, n_tokens long, {cols}{extra}")
 
 
 _SHIFTS = np.arange(32, dtype=np.int64)

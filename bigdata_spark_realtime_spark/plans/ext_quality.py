@@ -115,6 +115,159 @@ def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: docs shorter than this can't trip the repetition filter anyway; the
+#: composed pipeline's quality gate (>= 10 tokens) guarantees non-zero
+#: gram counts so the fraction arithmetic below never divides by zero
+_CURATION_FULL_ORACLE_TMPL = """
+WITH corpus AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE source <> '{eval_source}' AND length(text) > 0 AND ({keep_sql})
+),
+rep AS (
+  SELECT doc_id, lang, source, text, toks FROM (
+    SELECT *,
+           1.0 - len(list_distinct(list_transform(range(len(toks) - 1),
+                 i -> toks[i + 1] || ' ' || toks[i + 2])))::DOUBLE
+               / (len(toks) - 1) AS dup2,
+           1.0 - len(list_distinct({g3}))::DOUBLE / (len(toks) - 2) AS dup3
+    FROM corpus
+  ) WHERE dup2 <= {dup2_max} AND dup3 <= {dup3_max}
+),
+ev AS (
+  SELECT DISTINCT unnest(list_distinct({g8})) AS shingle
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE source = '{eval_source}')
+  WHERE len(toks) >= {contam_w}
+),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(list_distinct({g8})) AS shingle
+        FROM rep WHERE len(toks) >= {contam_w})
+  WHERE shingle IN (SELECT shingle FROM ev)
+),
+clean AS (
+  SELECT doc_id, lang, source, text FROM rep
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+keepers AS (
+  SELECT doc_id, lang, source,
+         min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper_id
+  FROM clean
+)
+SELECT doc_id, lang, source, {bucket} AS sample_bucket
+FROM keepers
+WHERE doc_id = keeper_id AND {bucket} < {rate_case}
+"""
+
+
+def _curation_full_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.corpus import NORM_SQL
+    from bigdata_spark_realtime_spark.plans.ext_decontam import (
+        CONTAM_W,
+        EVAL_SOURCE,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        _BUCKET_SQL,
+        _CURATION_KEEP_SQL,
+        _RATE_CASE_SQL,
+    )
+
+    return _CURATION_FULL_ORACLE_TMPL.format(
+        eval_source=EVAL_SOURCE,
+        keep_sql=_CURATION_KEEP_SQL,
+        g3=H.shingles_sql("toks", 3),
+        g8=H.shingles_sql("toks", CONTAM_W),
+        dup2_max=DUP_2GRAM_MAX,
+        dup3_max=DUP_3GRAM_MAX,
+        contam_w=CONTAM_W,
+        norm=NORM_SQL,
+        bucket=_BUCKET_SQL,
+        rate_case=_RATE_CASE_SQL,
+    )
+
+
+@register("ext_curation_full", oracle=_curation_full_oracle())
+def ext_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pass over raw intake, every rule reused
+    from its standalone operator, composed in cost order so each stage
+    shrinks what the next one pays for:
+
+      quality gates (map) → Gopher repetition filter (map-side Arrow
+      kernel, survivors carried through — no join back) → test-set
+      decontamination (eval shingles broadcast; contaminated ids —
+      rare — broadcast into an anti-join) → exact-dedup keeper (the
+      FIRST shuffle of corpus rows) → stratified language rebalance
+      (map).
+
+    At 100 TB the corpus is shuffled exactly once (the dedup window,
+    over heavily-filtered survivors); everything else is map-side or
+    touches only rare hit rows."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        repetition_metrics,
+        shingle_rows,
+    )
+    from bigdata_spark_realtime_spark.plans.corpus import norm_text
+    from bigdata_spark_realtime_spark.plans.ext_decontam import (
+        CONTAM_W,
+        EVAL_SOURCE,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        DEFAULT_RATE,
+        STRATA_RATES,
+        _sample_bucket,
+        quality_keep_cond,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == EVAL_SOURCE)
+    corpus = (
+        docs.where(F.col("source") != EVAL_SOURCE)
+        .where(F.length("text") > 0)
+        .where(quality_keep_cond())
+    )
+    m = repetition_metrics(
+        corpus,
+        widths=(2, 3),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+        passthrough=("lang", "source", "text"),
+    )
+    # quality guarantees >= 10 tokens, so total_2/total_3 >= 8 — exact
+    # integer-derived doubles, same arithmetic as the oracle
+    kept = m.where(
+        (
+            F.lit(1.0)
+            - F.col("distinct_2").cast("double") / F.col("total_2")
+            <= DUP_2GRAM_MAX
+        )
+        & (
+            F.lit(1.0)
+            - F.col("distinct_3").cast("double") / F.col("total_3")
+            <= DUP_3GRAM_MAX
+        )
+    ).select("doc_id", "lang", "source", "text")
+    ev_shingles = shingle_rows(ev, CONTAM_W).select("shingle").distinct()
+    contam_ids = (
+        shingle_rows(kept, CONTAM_W)
+        .join(F.broadcast(ev_shingles), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = kept.join(F.broadcast(contam_ids), "doc_id", "left_anti")
+    win = Window.partitionBy(F.md5(norm_text(F.col("text"))))
+    keepers = clean.withColumn("keeper_id", F.min("doc_id").over(win))
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        keepers.where(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+    )
+
+
 TOP_NGRAMS = 20
 
 BOILERPLATE_ORACLE = f"""

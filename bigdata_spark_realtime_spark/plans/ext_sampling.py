@@ -94,6 +94,24 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_keep_cond() -> F.Column:
+    """The composed pipelines' cheap quality gates as one Column —
+    Spark twin of ``_CURATION_KEEP_SQL`` (keep both in lockstep)."""
+    from bigdata_spark_realtime_spark.plans.ext_text import STOPWORDS
+
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    punct_ct = F.size(
+        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
+    ).cast("double")
+    return (
+        (n_tokens >= 10)
+        & (stop_ct / n_tokens >= 0.05)
+        & (punct_ct / F.length("text").cast("double") <= 0.2)
+    )
+
+
 #: the composed pipeline reuses the quality gates and normalization the
 #: standalone operators define — one source of truth per rule
 _CURATION_KEEP_SQL = """
@@ -138,21 +156,11 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Filter order is the cost order: each stage shrinks the data the next
     one pays for."""
     from bigdata_spark_realtime_spark.plans.corpus import norm_text
-    from bigdata_spark_realtime_spark.plans.ext_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("double")
-    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
-    punct_ct = F.size(
-        F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)
-    ).cast("double")
-    keep = (
-        (n_tokens >= 10)
-        & (stop_ct / n_tokens >= 0.05)
-        & (punct_ct / F.length("text").cast("double") <= 0.2)
+    quality = docs.where(quality_keep_cond()).select(
+        "doc_id", "lang", "source", "text"
     )
-    quality = docs.where(keep).select("doc_id", "lang", "source", "text")
     win = Window.partitionBy(F.md5(norm_text(F.col("text"))))
     keepers = quality.withColumn("keeper_id", F.min("doc_id").over(win))
     bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))

@@ -203,6 +203,18 @@ def test_boilerplate_topk_single_shuffle_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_curation_full_broadcasts_and_bounds_shuffles(spark, sf_dir):
+    """The composed curation pass: eval shingles and contaminated ids
+    both broadcast (never a sort-merge join), and the whole pipeline
+    plans at most 5 hash exchanges — the dedup window (the only shuffle
+    of corpus rows), the two small distincts (eval shingles,
+    contaminated ids), and the local small-input widenings."""
+    plan = _plan(spark, sf_dir, "ext_curation_full")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "a broadcast side grew a shuffle"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 5, plan
+
+
 def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_sales_opportunity")
     assert "BroadcastNestedLoopJoin" in plan, (

@@ -156,3 +156,20 @@ def test_repetition_metrics_edges(spark, edge_docs_df):
     assert m[7]["total_2"] == 40 and m[7]["distinct_2"] == 1
     # 'a  b   c d' -> 7 tokens incl. empties (Spark split semantics)
     assert m[5]["n_tokens"] == 7
+
+
+def test_candidate_memo_reuses_one_frame(spark, sf_dir):
+    """minhash_lsh / resolve / ngram_jaccard must consume the SAME
+    candidate DataFrame object (plans/ext_dedup._CAND_MEMO) so the
+    persisted tagged frame materializes once per session — two pickles
+    of the kernel closure are different bytes, so canonical-plan
+    caching cannot unify rebuilt pipelines."""
+    from bigdata_spark_realtime_spark.plans.ext_dedup import (
+        _candidates_from_docs,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _candidates_from_docs(docs) is _candidates_from_docs(docs)
+    other = docs.limit(5)
+    assert _candidates_from_docs(other) is not _candidates_from_docs(docs)
