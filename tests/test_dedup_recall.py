@@ -163,3 +163,25 @@ def test_simhash_hot_bucket_join_path(spark):
         if bin(i ^ j).count("1") <= 3
     }
     assert got == expected
+
+
+def test_fused_kernel_hot_bucket_end_to_end(spark):
+    """A degenerate corpus — hundreds of IDENTICAL documents, the
+    boilerplate pathology at 100 TB — must flow through the FUSED
+    map-side kernel path (_candidates_from_docs) into the join
+    fallback and still produce exactly C(n,2) candidate pairs, with
+    no single-task collect_list materialization."""
+    from bigdata_spark_realtime_spark.plans.ext_dedup import (
+        _candidates_from_docs,
+    )
+
+    n = MAX_BUCKET_COLLECT + 344  # 600 > cap: every band bucket is hot
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate banner text appears everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cand = _candidates_from_docs(docs)
+    assert cand.count() == n * (n - 1) // 2
+    # spot-check unordered-pair invariants
+    bad = cand.where("doc_a >= doc_b").count()
+    assert bad == 0
