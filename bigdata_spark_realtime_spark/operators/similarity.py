@@ -155,3 +155,31 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def split_oversized_cells(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """Split any cell larger than ``max_cell`` into hash-assigned
+    sub-cells so a per-cell Arrow kernel's matrix stays bounded no
+    matter how skewed the quantizer's clusters are.
+
+    The SemDeDup pruning path (vector_ops.semantic_dedup_drops) scores
+    one cell per Arrow batch; a degenerate cluster holding 1% of a
+    100 TB corpus would otherwise OOM a single task. Sub-cell ids are
+    ``cell * 1_000_000 + xxhash64(vec_id) % n_sub`` (contract:
+    n_sub < 1e6), trading the cross-sub-cell pairs away — the same
+    approximation SemDeDup itself makes by never comparing across
+    clusters. The size census is one small agg (one row per cell)
+    broadcast back; the corpus side is never shuffled by this helper
+    (the kernel's groupBy is the one exchange, exactly as unsplit).
+    """
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_in_cell"))
+    n_sub = F.ceil(F.col("n_in_cell") / max_cell).cast("long")
+    return (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "cell",
+            F.col("cell").cast("long") * 1_000_000
+            + F.pmod(F.xxhash64("vec_id"), n_sub),
+        )
+        .drop("n_in_cell")
+    )

@@ -212,3 +212,59 @@ def neardup_topk_blocked(
     return emb.select(block_col, "vec_id", "embedding").groupBy(block_col).applyInPandas(
         per_cell, schema
     )
+
+
+def semantic_dedup_drops(
+    emb: DataFrame, eps: float, block_col: str = "cell", digits: int = 4
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within each
+    quantizer cell, compute every vector's maximum cosine similarity to
+    its cell-mates and drop the ceil(eps * cell_size) most-redundant
+    vectors — the paper's cluster-then-prune semantics made
+    deterministic (rounded similarity, vec_id tie-break) so a SQL
+    oracle can replay the exact drop set.
+
+    Per cell: one Arrow batch, one normalize, one M @ M.T; per-pair
+    similarities are rounded to ``digits`` BEFORE the per-row max (the
+    oracle computes max(round(cos, digits)) the same way), rank is
+    (max_sim DESC, vec_id ASC). Cells of size 1 have no pairs and drop
+    nothing.
+
+    At 100 TB the block is a trained coarse-quantizer cell
+    (operators/similarity.build_ivf_index) sized so each cell's matrix
+    fits an executor's Arrow batch; oversized cells are pre-split with
+    :func:`bigdata_spark_realtime_spark.operators.similarity.split_oversized_cells`
+    (the paper's own approximation — pairs across sub-cells are
+    forfeited). Nothing is all-pairs across cells and nothing touches
+    the driver."""
+    import math
+
+    schema = f"{block_col} long, vec_id long, max_sim double"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({block_col: [], "vec_id": [], "max_sim": []}).astype(
+                {block_col: "int64", "vec_id": "int64", "max_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, digits)
+        np.fill_diagonal(sims, -np.inf)
+        max_sim = sims.max(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, -max_sim))[: math.ceil(eps * n)]
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].to_numpy()[order],
+                "vec_id": ids[order],
+                "max_sim": max_sim[order],
+            }
+        )
+
+    return emb.select(block_col, "vec_id", "embedding").groupBy(block_col).applyInPandas(
+        per_cell, schema
+    )

@@ -81,6 +81,7 @@ _PLAN_MODULES = (
     # new this round, registered AFTER the pinned window (51+): covered
     # by the local oracle mirror now, rotate into the external gate next
     "bigdata_spark_realtime_spark.plans.ext_quality",
+    "bigdata_spark_realtime_spark.plans.ext_semantic",
 )
 
 

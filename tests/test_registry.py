@@ -36,6 +36,7 @@ EXPECTED_PER_MODULE = {
     "ext_packing": 1,
     "ext_ivf": 1,
     "ext_quality": 3,
+    "ext_semantic": 1,
     "streaming_queries": 10,
 }
 
