@@ -82,6 +82,7 @@ _PLAN_MODULES = (
     # by the local oracle mirror now, rotate into the external gate next
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
+    "bigdata_spark_realtime_spark.plans.ext_mixture",
 )
 
 

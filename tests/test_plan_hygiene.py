@@ -221,3 +221,25 @@ def test_q22_scalar_subquery_is_broadcast_not_correlated(spark, sf_dir):
         "the 1-row global average must cross-join in via broadcast"
     )
     assert "LeftAnti" in plan, "NOT EXISTS must compile to an anti join"
+
+
+def test_mixture_resample_broadcasts_rates(spark, sf_dir):
+    """The realized mixture must broadcast the language-cardinality
+    rates frame so the corpus keep-decision is a map-side hash filter;
+    a SortMergeJoin here would shuffle the whole corpus by lang — a
+    handful of giant skewed keys at 100 TB."""
+    plan = _plan(spark, sf_dir, "ext_mixture_resample")
+    assert "BroadcastHashJoin" in plan, "rates must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus must not shuffle by lang"
+
+
+def test_semantic_dedup_exchanges_are_bounded(spark, sf_dir):
+    """SemDeDup's corpus-side exchanges: the argmin-assignment window
+    (by vec_id) and the per-cell kernel's groupBy(cell) — exactly two;
+    the centroid set must arrive via broadcast (nested-loop over 16
+    rows), never by shuffling the corpus against it."""
+    plan = _plan(spark, sf_dir, "ext_dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan, "centroids must broadcast"
+    assert "SortMergeJoin" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"

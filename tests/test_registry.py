@@ -37,6 +37,7 @@ EXPECTED_PER_MODULE = {
     "ext_ivf": 1,
     "ext_quality": 3,
     "ext_semantic": 1,
+    "ext_mixture": 2,
     "streaming_queries": 10,
 }
 
