@@ -83,6 +83,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
+    "bigdata_spark_realtime_spark.plans.ext_pii",
 )
 
 

@@ -243,3 +243,13 @@ def test_semantic_dedup_exchanges_are_bounded(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """The scrub is pure codegen string work: zero exchanges, so it
+    composes map-side with any upstream partitioning at 100 TB."""
+    plan = _plan(spark, sf_dir, "ext_pii_redact")
+    assert "Exchange" not in plan, "PII scrub must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "PII scrub must stay JVM-side (no Python UDFs)"
+    )

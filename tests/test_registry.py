@@ -38,6 +38,7 @@ EXPECTED_PER_MODULE = {
     "ext_quality": 3,
     "ext_semantic": 1,
     "ext_mixture": 2,
+    "ext_pii": 1,
     "streaming_queries": 10,
 }
 
