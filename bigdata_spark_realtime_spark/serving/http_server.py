@@ -25,6 +25,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from bigdata_spark_realtime_spark.serving.api import ServingAPI
+from bigdata_spark_realtime_spark.serving.dashboard import DASHBOARD_HTML
 
 
 def _endpoint_dau(api: ServingAPI, q: dict) -> dict:
@@ -84,6 +85,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self) -> None:  # noqa: N802 (http.server naming)
         url = urlparse(self.path)
+        if url.path in ("/", "/index.html"):
+            self._send_html(DASHBOARD_HTML)
+            return
         route = ROUTES.get(url.path)
         if route is None:
             self._send(404, {"error": f"no such endpoint: {url.path}"})
@@ -97,6 +101,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
             return
         self._send(200, body)
+
+    def _send_html(self, html: str) -> None:
+        data = html.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def _send(self, status: int, body) -> None:
         data = json.dumps(body, ensure_ascii=False).encode("utf-8")

@@ -135,3 +135,21 @@ def test_bad_requests_return_400(server_url):
     assert status == 400
     status, _ = _get(f"{server_url}/nope")
     assert status == 404
+
+
+def test_dashboard_page_served(server_url):
+    """The bundled dashboard (the reference's static SPA surface,
+    `InsightAnalytics/src/main/resources/static/`) is served at / as a
+    self-contained HTML page driving the three live endpoints."""
+    import urllib.request
+
+    for path in ("/", "/index.html"):
+        with urllib.request.urlopen(f"{server_url}{path}") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode("utf-8")
+        for endpoint in ("/dauRealtime", "/statsByItem", "/detailByItem"):
+            assert endpoint in html
+        assert "<script>" in html and "http" not in html.split("<head>")[1].split(
+            "</head>"
+        )[0].lower().replace("http-equiv", ""), "head must pull no external assets"
