@@ -79,19 +79,36 @@ def main() -> None:
     skipped = []
     for t in TABLE_NAMES:
         try:
-            load_table(spark, SF_DIR, t).count()
+            # full-column scan, not count(): count() prunes every column,
+            # so heavy columns (documents.text, embeddings.embedding)
+            # would stay cold and their decompression cost would be
+            # charged to whichever headline query touches them first
+            load_table(spark, SF_DIR, t).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort
             skipped.append(t)
             print(f"bench: warm-up skipped table {t}: {e!r}"[:500], file=sys.stderr)
     if skipped:
         print(f"bench: WARNING warm-up skipped tables: {skipped}", file=sys.stderr)
-    specs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     # spin up the Python worker pool too (reused across queries, same as
     # a long-lived cluster): the vectorized Arrow-batch operators should
     # measure steady-state kernel time, not one-time fork cost
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # JIT warm-up: run every headline query once at the smallest SF.
+    # First execution of a plan pays whole-stage-codegen compile + JVM C2
+    # (measured ~1.5 s flat for the md5/regex plans, independent of row
+    # count); a long-lived cluster pays that once per plan shape, so the
+    # timed sf0.1 pass below should measure steady-state kernels.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                specs[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+                print(f"bench: warm-up skipped {name}: {e!r}"[:300], file=sys.stderr)
 
     errors: dict[str, str] = {}
     for name in names:
