@@ -141,12 +141,18 @@ def minhash_sql(hashes_expr: str, j: int) -> str:
 # orders of magnitude inside int64.
 # ---------------------------------------------------------------------------
 
-#: 4 bands × 6 planes = 24 hyperplanes. Candidate probability at cosine
-#: s (collision p = 1 − arccos(s)/π): 1−(1−p⁶)⁴ ≈ 0.95 at s = 0.95 —
-#: near-dup recall — while orthogonal pairs (p = 0.5) collide at only
-#: 1−(1−0.5⁶)⁴ ≈ 6%, keeping the verify join sub-quadratic.
-SRP_BANDS = 4
-SRP_ROWS = 6
+#: 12 bands × 16 planes = 192 hyperplanes. Candidate probability at
+#: cosine s (collision p = 1 − arccos(s)/π): 1−(1−p¹⁶)¹² ≈ 0.91 at
+#: s = 0.95 and ≈ 0.994 at s = 0.98 — near-dup recall — while
+#: orthogonal pairs (p = 0.5) collide at only 1−(1−0.5¹⁶)¹² ≈ 0.02%,
+#: keeping the verify join far sub-quadratic. 16 bits/band = 65 536
+#: bucket keys per band — the same pigeonhole key-space argument as the
+#: SimHash path: bucket population grows as n/65 536, not n/64, so the
+#: bucket-local pair generation survives corpus-scale n (and ROWS is
+#: the knob to turn further: key space doubles per added plane, so
+#: rows ≈ log2(n) keeps expected bucket size O(1)).
+SRP_BANDS = 12
+SRP_ROWS = 16
 N_SRP_PLANES = SRP_BANDS * SRP_ROWS
 #: embedding dimensionality of the driver's embeddings table
 EMB_DIM = 64

@@ -11,13 +11,16 @@ analogue is the Redis set-membership dedup, `app/dwd_DauApp.scala:
 
 Scale design (100 TB):
 - signatures are one `mapInPandas` pass — per Arrow batch a single
-  int64 matrix product Q @ W.T (24 hyperplanes), no shuffle;
+  int64 matrix product Q @ W.T (192 hyperplanes), no shuffle;
 - candidates come from the same skew-guarded bucket-local pair
   generation as the MinHash/SimHash paths (`ext_dedup._bucket_pairs`):
   the only shuffle key is the (band, key) bucket, never all-pairs,
   and degenerate buckets fall back to a distributed join;
-- the verify join touches |candidates| pairs only (≈6% of pairs for
-  orthogonal vectors at 4×6-bit banding, ≥95% recall at cosine 0.95).
+- the verify join touches |candidates| pairs only (≈0.02% of pairs for
+  orthogonal vectors at 12×16-bit banding, ≈91% recall at cosine 0.95
+  and ≈99% at 0.98); 16-bit bands give 65 536 bucket keys per band —
+  the same no-corpus-scale-bucket-ceiling argument as the SimHash
+  path, vs. the 64-key ceiling a 6-bit band would impose.
 
 Bucket membership is *bit-identical* across engines because the
 projection is integer end-to-end (see functions/hashing.py SRP notes):
@@ -148,7 +151,7 @@ def srp_band_rows(emb: DataFrame) -> DataFrame:
 @register("ext_dedup_embedding_srp", oracle=SRP_ORACLE)
 def ext_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K most-similar candidate pairs from SRP-LSH buckets: quantized
-    sign-random-projection signatures (4 bands × 6 bits) → skew-guarded
+    sign-random-projection signatures (12 bands × 16 bits) → skew-guarded
     bucket-local pairs → exact-cosine verify on candidates only →
     global top-K by (rounded cos_sim DESC, vec_a, vec_b)."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -96,8 +96,8 @@ def test_srp_signatures_match_reference(spark, sf_dir):
 @pytest.mark.parametrize("target_cos,min_recall", [(0.98, 0.9), (0.95, 0.75)])
 def test_srp_planted_neardup_recall(spark, target_cos, min_recall):
     """Planted near-dups at a known cosine must surface as SRP bucket
-    collisions at >= the banding formula's recall (1-(1-p^6)^4 with
-    p = 1 - arccos(s)/pi: ≈0.99 at s=0.98, ≈0.95 at s=0.95)."""
+    collisions at >= the banding formula's recall (1-(1-p^16)^12 with
+    p = 1 - arccos(s)/pi: ≈0.994 at s=0.98, ≈0.91 at s=0.95)."""
     from bigdata_spark_realtime_spark.plans.ext_dedup import _bucket_pairs
 
     rng = np.random.default_rng(7)
