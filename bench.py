@@ -60,6 +60,10 @@ HEADLINE: tuple[str, ...] = (
     "ext_curation_pipeline",    # quality → dedup-keeper → rebalance, 1 shuffle
     "ext_decontaminate",        # broadcast eval shingles, map-side corpus check
     "ext_pack_shards",          # hash-shard + per-shard greedy packing
+    "ext_lm_score",             # bigram-LM train + integer-surprise scoring
+    "ext_dedup_substring",      # duplicated W-token span hash-count
+    "ext_text_tfidf",           # tf + df shuffles, per-doc top-K window
+    "ext_train_order",          # seeded hash permutation, shard-local sorts
 )
 
 

@@ -1,0 +1,103 @@
+"""TF-IDF keyword extraction over the `documents` table.
+
+Classic corpus-statistics operator (Salton & Buckley, 1988): rank each
+document's tokens by term frequency × inverse document frequency and
+keep the top K — the building block for keyword tagging, BM25-style
+retrieval and quality heuristics. The reference has no corpus-level
+text statistics (its aggregations are click-stream counts,
+`ia/PublisherMapperImpl.java`); this extends the engine's text suite
+(plans/ext_text.py).
+
+The idf factor is the *linear* variant ``N / df`` rather than
+``ln(N / df)``: both are strictly decreasing in df, so per-document
+rankings agree wherever tf-idf orderings are driven by tf and df
+(identical-score ties are broken identically on token text), and the
+linear form stays in exact integer arithmetic — ``tf * ((N * SCALE)
+DIV df)`` — which the DuckDB oracle reproduces bit-for-bit. ``ln``
+is not guaranteed identical across engines' libm (same rationale as
+the SRP integer projections, functions/hashing.py).
+
+Scale (100 TB):
+- tf is one shuffle on (doc_id, token) with map-side combine;
+- df is one shuffle on token over the *distinct* (doc, token) pairs;
+  the df table is vocabulary-sized (corpus-small) and broadcast-
+  eligible for the join back onto tf — AQE decides from stats;
+- top-K per doc is a partition-local window (rank over doc_id
+  partitions), never a global sort;
+- N comes from a 1-row aggregate cross-join, not a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: keywords kept per document
+TOP_K = 5
+#: integer quantization scale for the linear idf ratio
+SCALE = 1_000_000
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((n.n_docs * {SCALE}) // df.df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token
+         ) AS rnk
+  FROM scored
+)
+SELECT doc_id, token AS keyword, CAST(score AS BIGINT) AS tfidf_score,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("ext_text_tfidf", oracle=TFIDF_ORACLE)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per document by integer-exact linear tf-idf
+    (tf × quantized N/df), ties broken on token text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "token",
+            F.expr(f"tf * ((n_docs * {SCALE}) DIV df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select(
+            "doc_id",
+            F.col("token").alias("keyword"),
+            F.col("score").alias("tfidf_score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

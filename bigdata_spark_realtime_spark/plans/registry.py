@@ -84,6 +84,10 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
     "bigdata_spark_realtime_spark.plans.ext_pii",
+    "bigdata_spark_realtime_spark.plans.ext_lm",
+    "bigdata_spark_realtime_spark.plans.ext_substring",
+    "bigdata_spark_realtime_spark.plans.ext_tfidf",
+    "bigdata_spark_realtime_spark.plans.ext_order",
 )
 
 

@@ -1,0 +1,185 @@
+"""Tests for the corpus-statistics operators: bigram-LM scoring,
+duplicated-span detection, tf-idf keywords and the deterministic
+training-order shuffle.
+
+Planted-scenario tests build tiny in-memory documents frames with known
+structure; the oracle-parity path (all registered queries vs DuckDB) is
+covered separately by test_queries_oracle.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdata_spark_realtime_spark.plans.ext_lm import _bigram_rows
+from bigdata_spark_realtime_spark.plans.ext_order import (
+    EPOCH_SEED,
+    N_SHARDS,
+    ext_train_order,
+)
+from bigdata_spark_realtime_spark.plans.ext_substring import (
+    SPAN_W,
+    _window_hashes,
+)
+from bigdata_spark_realtime_spark.plans.ext_tfidf import TOP_K, ext_text_tfidf
+from bigdata_spark_realtime_spark.plans.registry import load_all
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_rows_order_and_count(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "x"), (3, "p q")])
+    got = {
+        (r["doc_id"], r["w1"], r["w2"]) for r in _bigram_rows(docs).collect()
+    }
+    # doc 2 has a single token -> no pairs; adjacency preserved elsewhere
+    assert got == {(1, "a", "b"), (1, "b", "c"), (1, "c", "d"), (3, "p", "q")}
+
+
+def test_lm_score_invariants(spark, sf_dir):
+    """Scores are positive, buckets take only the three labels, and
+    n_bigrams is tokens-1 for every scored doc."""
+    specs = load_all()
+    out = specs["ext_lm_score"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    scores = {r["doc_id"]: r["lm_score"] for r in out}
+    buckets = {r["lm_bucket"] for r in out}
+    # scores are positive and buckets only take the three labels
+    assert all(s > 0 for s in scores.values())
+    assert buckets <= {"head", "middle", "tail"}
+    # n_bigrams is tokens-1 for every scored doc
+    docs = {r["doc_id"]: r for r in out}
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ", -1)).alias("n"))
+        .collect()
+    )
+    for r in toks:
+        if r["n"] >= 2:
+            assert docs[r["doc_id"]]["n_bigrams"] == r["n"] - 1
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def test_substring_planted_duplicate_span(spark):
+    shared = " ".join(f"s{i}" for i in range(SPAN_W))  # exactly one window
+    rows = [
+        (1, "u1 u2 u3 " + shared + " v1 v2"),
+        (2, "w1 " + shared + " w2 w3 w4"),
+        (3, " ".join(f"z{i}" for i in range(SPAN_W + 4))),  # unique text
+        (4, "tiny doc"),  # < SPAN_W tokens
+    ]
+    docs = _docs(spark, rows)
+    grams = _window_hashes(docs)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+    )
+    flagged = (
+        grams.join(dup.select("h"), "h")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    by_doc = {r["doc_id"]: r["count"] for r in flagged}
+    # docs 1 and 2 share exactly the one planted window; 3 and 4 clean
+    assert by_doc == {1: 1, 2: 1}
+
+
+def test_substring_short_docs_report_zero(spark, sf_dir):
+    specs = load_all()
+    out = specs["ext_dedup_substring"].fn(spark, sf_dir)
+    # one row per document, including too-short ones, no negatives
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(
+        r["n_dup_spans"] >= 0 and r["n_dup_windows"] <= r["n_dup_spans"]
+        for r in rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_token_wins(spark, tmp_path):
+    # 'unique' appears only in doc 1; 'common' in all docs. The rare
+    # token must out-rank the common one for doc 1.
+    rows = [
+        (1, "common unique common"),
+        (2, "common common filler"),
+        (3, "common filler2 filler2"),
+    ]
+    path = str(tmp_path / "docs")
+    _docs(spark, rows).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    clear_table_cache()
+    try:
+        out = ext_text_tfidf(spark, path).collect()
+    finally:
+        clear_table_cache()
+    doc1 = sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["rnk"]
+    )
+    assert doc1[0]["keyword"] == "unique"
+    assert all(r["rnk"] <= TOP_K for r in out)
+
+
+# ---------------------------------------------------------------------------
+# training order
+# ---------------------------------------------------------------------------
+
+
+def test_train_order_is_contiguous_and_deterministic(spark, sf_dir):
+    a = ext_train_order(spark, sf_dir).collect()
+    b = ext_train_order(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    # every shard's positions are exactly 1..n (a permutation, no gaps)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # the permutation covers each doc exactly once
+    assert len({r["doc_id"] for r in a}) == len(a)
+
+
+def test_train_order_seed_changes_permutation(spark, sf_dir):
+    """A different epoch seed must yield a different order (hash keyed
+    on the seed string)."""
+    from bigdata_spark_realtime_spark.functions import hashing as H
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(50)
+    k0 = H.h32(F.concat(F.lit(f"{EPOCH_SEED}|"), F.col("doc_id").cast("string")))
+    k1 = H.h32(F.concat(F.lit("epoch1|"), F.col("doc_id").cast("string")))
+    rows = docs.select(
+        F.col("doc_id"), k0.alias("k0"), k1.alias("k1")
+    ).collect()
+    assert any(r["k0"] != r["k1"] for r in rows)
+    o0 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["k0"], r["doc_id"]))]
+    o1 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["k1"], r["doc_id"]))]
+    assert o0 != o1

@@ -39,6 +39,10 @@ EXPECTED_PER_MODULE = {
     "ext_semantic": 1,
     "ext_mixture": 2,
     "ext_pii": 1,
+    "ext_lm": 1,
+    "ext_substring": 1,
+    "ext_tfidf": 1,
+    "ext_order": 1,
     "streaming_queries": 10,
 }
 
