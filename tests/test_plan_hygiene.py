@@ -253,3 +253,46 @@ def test_pii_redact_is_shuffle_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "PII scrub must stay JVM-side (no Python UDFs)"
     )
+
+
+def test_lm_score_broadcasts_counts_and_uses_pair_kernel(spark, sf_dir):
+    """The LM's count tables are vocabulary-sized and must broadcast
+    onto the corpus pair stream; a SortMergeJoin would shuffle the
+    100 TB side by token strings. Pairs must come from the Arrow
+    kernel (the JVM transform/element_at explode measured ~10x
+    slower at sf0.1)."""
+    plan = _plan(spark, sf_dir, "ext_lm_score")
+    assert "MapInPandas" in plan, "pairs must come from the Arrow kernel"
+    assert "BroadcastHashJoin" in plan, "LM counts must broadcast"
+    assert "SortMergeJoin" not in plan, "corpus pairs must not shuffle for the join"
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """Window hashing is map-side (Arrow kernel); every Exchange in the
+    plan must carry the 8-byte hash / doc_id columns, never the window
+    text — the token-derived shuffle volume is what kills a 100 TB
+    corpus pass."""
+    plan = _plan(spark, sf_dir, "ext_dedup_substring")
+    assert "MapInPandas" in plan, "window hashes must come from the Arrow kernel"
+    assert "SortMergeJoin" not in plan, (
+        "the duplicated-hash set must broadcast back, not shuffle the corpus"
+    )
+
+
+def test_tfidf_topk_is_partition_local_window(spark, sf_dir):
+    """Per-doc top-K must be a rank window over doc_id partitions —
+    never a global sort — and the vocabulary-sized df table must
+    broadcast onto tf."""
+    plan = _plan(spark, sf_dir, "ext_text_tfidf")
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+    assert "SortMergeJoin" not in plan, "df table must broadcast onto tf"
+
+
+def test_train_order_single_shard_exchange(spark, sf_dir):
+    """The epoch permutation is one hash exchange on the shard key plus
+    shard-local sorts; rangepartitioning (a global sort) must never
+    appear."""
+    plan = _plan(spark, sf_dir, "ext_train_order")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
