@@ -88,6 +88,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_substring",
     "bigdata_spark_realtime_spark.plans.ext_tfidf",
     "bigdata_spark_realtime_spark.plans.ext_order",
+    "bigdata_spark_realtime_spark.plans.ext_chunk",
 )
 
 

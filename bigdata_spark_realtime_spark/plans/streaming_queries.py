@@ -739,3 +739,67 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(pairs, spark, output_mode="complete").select(
         "doc_a", "doc_b"
     )
+
+
+def _stream_lm_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_lm import LM_ORACLE
+
+    return LM_ORACLE
+
+
+@register("stream_lm_bucket", oracle=_stream_lm_oracle())
+def stream_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing on a live ingest stream — the
+    production shape for scoring documents at intake: the bigram LM is
+    FIXED (trained batch-side on the deterministic 10% hash-slice, its
+    vocabulary-sized count tables broadcast), the corpus STREAMS. Each
+    micro-batch runs the identical map-side pair kernel
+    (operators/shingling.token_pair_rows is a stateless mapInPandas, so
+    it works unchanged on a streaming frame), pairs join the broadcast
+    counts, and per-doc surprise totals accumulate in complete mode;
+    score and bucket are derived from the final totals. Oracle = the
+    batch operator's SQL: integer arithmetic is associative across
+    micro-batches, so streamed and batched answers are identical."""
+    from bigdata_spark_realtime_spark.operators.shingling import token_pair_rows
+    from bigdata_spark_realtime_spark.plans.ext_lm import (
+        HEAD_MAX,
+        MIDDLE_MAX,
+        SCALE,
+        TRAIN_PCT,
+        _bigram_rows,
+    )
+    from bigdata_spark_realtime_spark.functions import hashing as H
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train_key = H.h32(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 100
+    train = _bigram_rows(docs).where(train_key < TRAIN_PCT)
+    big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    n_vocab = uni.count()  # vocabulary size: a bounded model constant
+
+    pairs = token_pair_rows(_docs_stream(spark, sf_dir))
+    surprise = F.expr(
+        f"(COALESCE(c1, 0) + {n_vocab}) * {SCALE} DIV (COALESCE(c12, 0) + 1)"
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .select("doc_id", surprise.alias("surprise"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surprise").alias("total"),
+    )
+    final = _drain_to_memory(agg, spark, output_mode="complete")
+    bucket = (
+        F.when(F.col("lm_score") < HEAD_MAX, "head")
+        .when(F.col("lm_score") < MIDDLE_MAX, "middle")
+        .otherwise("tail")
+    )
+    return (
+        final.select(
+            "doc_id", "n_bigrams", F.expr("total DIV n_bigrams").alias("lm_score")
+        )
+        .select("doc_id", "n_bigrams", "lm_score", bucket.alias("lm_bucket"))
+    )

@@ -183,3 +183,44 @@ def test_train_order_seed_changes_permutation(spark, sf_dir):
     o0 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["k0"], r["doc_id"]))]
     o1 = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["k1"], r["doc_id"]))]
     assert o0 != o1
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_cover_every_token(spark):
+    from bigdata_spark_realtime_spark.plans.ext_chunk import CHUNK_W, STRIDE
+
+    n_tokens = 100
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = _docs(spark, [(1, text)])
+    from bigdata_spark_realtime_spark.plans.ext_chunk import ext_chunk_windows
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        clear_table_cache()
+        try:
+            rows = sorted(
+                ext_chunk_windows(spark, d).collect(),
+                key=lambda r: r["chunk_id"],
+            )
+        finally:
+            clear_table_cache()
+    # chunk i starts at i*STRIDE and holds min(CHUNK_W, n - i*STRIDE)
+    assert len(rows) == (n_tokens + STRIDE - 1) // STRIDE
+    seen = set()
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        start = r["chunk_id"] * STRIDE
+        assert toks == [f"t{i}" for i in range(start, min(start + CHUNK_W, n_tokens))]
+        assert r["n_chunk_tokens"] == len(toks)
+        seen.update(toks)
+    assert len(seen) == n_tokens  # nothing dropped

@@ -296,3 +296,13 @@ def test_train_order_single_shard_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_train_order")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure map-side explode: zero exchanges, so it
+    composes with any upstream partitioning at 100 TB."""
+    plan = _plan(spark, sf_dir, "ext_chunk_windows")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "chunking must stay JVM-side"
+    )

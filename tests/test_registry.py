@@ -43,7 +43,8 @@ EXPECTED_PER_MODULE = {
     "ext_substring": 1,
     "ext_tfidf": 1,
     "ext_order": 1,
-    "streaming_queries": 10,
+    "ext_chunk": 1,
+    "streaming_queries": 11,
 }
 
 #: The exact first-50 registration window the round-6 external
