@@ -122,8 +122,11 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _bigram_rows(docs)
 
+    # filter BEFORE the pair kernel: Catalyst cannot push a predicate
+    # through mapInPandas, so filtering after would run the kernel on
+    # 100% of the corpus to keep the 10% train slice
     train_key = H.h32(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 100
-    train = pairs.where(train_key < TRAIN_PCT)
+    train = _bigram_rows(docs.where(train_key < TRAIN_PCT))
     big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))

@@ -773,7 +773,8 @@ def stream_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     train_key = H.h32(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 100
-    train = _bigram_rows(docs).where(train_key < TRAIN_PCT)
+    # filter before the kernel: mapInPandas blocks predicate pushdown
+    train = _bigram_rows(docs.where(train_key < TRAIN_PCT))
     big = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     n_vocab = uni.count()  # vocabulary size: a bounded model constant
