@@ -238,31 +238,40 @@ def shingle_rows(docs: DataFrame, w: int) -> DataFrame:
 
 
 def window_hash_rows(
-    docs: DataFrame, w: int, min_parallelism: int | None = None
+    docs: DataFrame,
+    w: int,
+    min_parallelism: int | None = None,
+    key_col: str = "doc_id",
+    key_type: str = "long",
 ) -> DataFrame:
-    """(doc_id, h) — the h32 of every w-token window POSITION per doc
+    """(<key_col>, h) — the h32 of every w-token window POSITION per doc
     (duplicates within a doc kept: the substring-dedup consumer counts
     positions, not distinct windows), hashed map-side with no shuffle.
     Docs with < w tokens emit nothing. The JVM transform/element_at
     shingle expression measured ~30× slower than this kernel at sf0.1
-    (7.7 s vs 0.25 s for 236k windows)."""
+    (7.7 s vs 0.25 s for 236k windows).
+
+    ``key_col`` picks the passthrough column (default doc_id; the
+    cross-source overlap audit keys by ``source`` instead — emitting
+    the key map-side avoids a corpus-scale join back to the docs)."""
 
     def gen(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            keys, hashes = [], []
+            for key, text in zip(pdf[key_col], pdf["text"]):
                 sh = _shingle_strs(_toks(text), w)
                 if not sh:
                     continue
-                ids.append(np.full(len(sh), doc_id, dtype=np.int64))
+                keys.extend([key] * len(sh))
                 hashes.append(_h32_arr(sh))
-            if not ids:
+            if not keys:
                 continue
-            yield pd.DataFrame(
-                {"doc_id": np.concatenate(ids), "h": np.concatenate(hashes)}
-            )
+            yield pd.DataFrame({key_col: keys, "h": np.concatenate(hashes)})
 
-    return _doc_rows(docs, min_parallelism).mapInPandas(gen, "doc_id long, h long")
+    sel = docs.select(key_col, "text")
+    if min_parallelism and _num_partitions(docs) < min_parallelism:
+        sel = sel.repartition(min_parallelism)
+    return sel.mapInPandas(gen, f"{key_col} {key_type}, h long")
 
 
 def token_pair_rows(

@@ -224,3 +224,75 @@ def test_chunk_windows_cover_every_token(spark):
         assert r["n_chunk_tokens"] == len(toks)
         seen.update(toks)
     assert len(seen) == n_tokens  # nothing dropped
+
+
+# ---------------------------------------------------------------------------
+# corpus profile / source overlap
+# ---------------------------------------------------------------------------
+
+
+def _full_docs(spark, rows):
+    """rows: (doc_id, text, lang, source)"""
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+
+def _write_docs(spark, rows, d):
+    import os
+
+    _full_docs(spark, rows).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+
+def test_corpus_profile_integer_median(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_profile import ext_corpus_profile
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    # group en/s1: token counts 1, 3, 10 -> median 3 (odd count)
+    # group de/s2: token counts 2, 4    -> median (2+4) DIV 2 = 3 (even)
+    rows = [
+        (1, "a", "en", "s1"),
+        (2, "a b c", "en", "s1"),
+        (3, " ".join("x" * 1 for _ in range(10)), "en", "s1"),
+        (4, "a b", "de", "s2"),
+        (5, "a b c d", "de", "s2"),
+    ]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        got = {(r["lang"], r["source"]): r for r in ext_corpus_profile(spark, d).collect()}
+    finally:
+        clear_table_cache()
+    en = got[("en", "s1")]
+    assert (en["n_docs"], en["total_tokens"], en["median_tokens"]) == (3, 14, 3)
+    assert (en["min_tokens"], en["max_tokens"]) == (1, 10)
+    de = got[("de", "s2")]
+    assert (de["n_docs"], de["median_tokens"]) == (2, 3)
+
+
+def test_source_overlap_planted_shared_window(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_profile import ext_source_overlap
+    from bigdata_spark_realtime_spark.plans.ext_substring import SPAN_W
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_W))
+    rows = [
+        (1, "p1 " + shared, "en", "srcA"),
+        (2, shared + " q1 q2", "en", "srcB"),
+        (3, " ".join(f"z{i}" for i in range(SPAN_W + 2)), "en", "srcC"),
+    ]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared_windows"]
+            for r in ext_source_overlap(spark, d).collect()
+        }
+    finally:
+        clear_table_cache()
+    # exactly the one planted window shared between A and B; C clean
+    assert got == {("srcA", "srcB"): 1}

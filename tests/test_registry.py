@@ -44,6 +44,7 @@ EXPECTED_PER_MODULE = {
     "ext_tfidf": 1,
     "ext_order": 1,
     "ext_chunk": 1,
+    "ext_profile": 2,
     "streaming_queries": 11,
 }
 
