@@ -255,16 +255,15 @@ def test_pii_redact_is_shuffle_free(spark, sf_dir):
     )
 
 
-def test_lm_score_broadcasts_counts_and_uses_pair_kernel(spark, sf_dir):
-    """The LM's count tables are vocabulary-sized and must broadcast
-    onto the corpus pair stream; a SortMergeJoin would shuffle the
-    100 TB side by token strings. Pairs must come from the Arrow
-    kernel (the JVM transform/element_at explode measured ~10x
-    slower at sf0.1)."""
+def test_lm_score_is_one_mapinpandas_pass(spark, sf_dir):
+    """Scoring is a single Arrow kernel with the vocabulary-bounded LM
+    broadcast as a dict: the corpus side must see ZERO exchanges and no
+    join — the earlier broadcast-join form exploded the corpus to pair
+    rows and shuffled them into the per-doc aggregation."""
     plan = _plan(spark, sf_dir, "ext_lm_score")
-    assert "MapInPandas" in plan, "pairs must come from the Arrow kernel"
-    assert "BroadcastHashJoin" in plan, "LM counts must broadcast"
-    assert "SortMergeJoin" not in plan, "corpus pairs must not shuffle for the join"
+    assert "MapInPandas" in plan, "scoring must be the Arrow kernel"
+    assert "Exchange" not in plan, "the corpus side must not shuffle"
+    assert "Join" not in plan, "the LM rides in the broadcast dict, not a join"
 
 
 def test_substring_dedup_shuffles_hashes_not_text(spark, sf_dir):
@@ -306,3 +305,12 @@ def test_chunk_windows_is_shuffle_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "chunking must stay JVM-side"
     )
+
+
+def test_quality_classifier_is_shuffle_free_kernel(spark, sf_dir):
+    """The hashed linear classifier is one Arrow kernel with the weight
+    vector broadcast as a model artifact: zero exchanges, no join."""
+    plan = _plan(spark, sf_dir, "ext_quality_classifier")
+    assert "MapInPandas" in plan, "scoring must be the Arrow kernel"
+    assert "Exchange" not in plan, "the corpus side must not shuffle"
+    assert "Join" not in plan
