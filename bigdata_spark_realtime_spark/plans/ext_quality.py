@@ -298,3 +298,110 @@ def ext_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(TOP_NGRAMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# fasttext-style hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+#: feature-hash buckets (fastText's default is 2M for bigram hashing;
+#: 4096 keeps the oracle's weight literal small at test scale — the
+#: engine shape is bucket-count-independent)
+CLF_BUCKETS = 4096
+
+
+def _clf_w(b: int) -> int:
+    """Deterministic md5-derived weight in [-1000, 1000] — pure data,
+    interpolated into the DuckDB oracle so both engines share the model.
+    A production deployment ships learned fastText weights the same way
+    (a bounded artifact broadcast to every worker); the engine contract
+    here is the hashed-feature extraction + sparse dot product."""
+    import hashlib as _hl
+
+    v = int(_hl.md5(f"clf-{b}".encode()).hexdigest()[:12], 16)
+    return v % 2001 - 1000
+
+
+CLF_W = tuple(_clf_w(b) for b in range(CLF_BUCKETS))
+
+_W_LIST = "[" + ", ".join(str(w) for w in CLF_W) + "]"
+_UNI_SUM = (
+    f"list_sum(list_transform(toks, t -> w[({H.h32_sql('t')} % {CLF_BUCKETS}) + 1]))"
+)
+_BI_SUM = (
+    f"list_sum(list_transform({H.shingles_sql('toks', 2)}, "
+    f"t -> w[({H.h32_sql('t')} % {CLF_BUCKETS}) + 1]))"
+)
+
+CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {_W_LIST} AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) + greatest(len(toks) - 1, 0) AS BIGINT) AS n_features,
+         CAST({_UNI_SUM}
+            + CASE WHEN len(toks) >= 2 THEN {_BI_SUM} ELSE 0 END
+           AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, n_features,
+       CAST(total // n_features AS BIGINT) AS clf_score,
+       CASE WHEN total // n_features >= 0 THEN 'keep' ELSE 'drop' END
+         AS clf_label
+FROM s
+"""
+
+
+@register("ext_quality_classifier", oracle=CLASSIFIER_ORACLE)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier: md5-hashed unigram +
+    bigram bag-of-features, sparse dot product with a bucketed weight
+    vector, mean-per-feature integer score and keep/drop label.
+
+    One map-side Arrow kernel over the corpus — ZERO exchanges: the
+    weight vector rides along as a numpy array (the model artifact,
+    like CCNet's LM in plans/ext_lm.py), features hash per batch and
+    the dot product is one vectorized gather-sum. Integer weights and
+    integer division keep the DuckDB oracle bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        _h32_arr,
+        _shingle_strs,
+        _toks,
+    )
+
+    w_arr = np.array(CLF_W, dtype=np.int64)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score(batches):
+        for pdf in batches:
+            ids, ns, scores = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _toks(text)
+                feats = toks + (_shingle_strs(toks, 2) if len(toks) >= 2 else [])
+                h = _h32_arr(feats) % CLF_BUCKETS
+                total = int(w_arr[h].sum())
+                ids.append(doc_id)
+                ns.append(len(feats))
+                # DuckDB's // TRUNCATES toward zero (-7 // 2 = -3) while
+                # Python's floors (-4); totals can be negative, so match
+                # the SQL by truncating
+                q = abs(total) // len(feats)
+                scores.append(q if total >= 0 else -q)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_features": ns, "clf_score": scores}
+            )
+
+    scored = docs.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, n_features long, clf_score long"
+    )
+    label = F.when(F.col("clf_score") >= 0, "keep").otherwise("drop")
+    return scored.select(
+        "doc_id", "n_features", "clf_score", label.alias("clf_label")
+    )

@@ -296,3 +296,40 @@ def test_source_overlap_planted_shared_window(spark, tmp_path):
         clear_table_cache()
     # exactly the one planted window shared between A and B; C clean
     assert got == {("srcA", "srcB"): 1}
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_matches_manual_dot_product(spark, tmp_path):
+    import numpy as np
+
+    from bigdata_spark_realtime_spark.operators.shingling import _h32_arr
+    from bigdata_spark_realtime_spark.plans.ext_quality import (
+        CLF_BUCKETS,
+        CLF_W,
+        ext_quality_classifier,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    rows = [(1, "alpha beta gamma", "en", "s1"), (2, "solo", "en", "s1")]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        got = {r["doc_id"]: r for r in ext_quality_classifier(spark, d).collect()}
+    finally:
+        clear_table_cache()
+    w = np.array(CLF_W, dtype=np.int64)
+    # doc 1: 3 unigrams + 2 bigrams = 5 features
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    total = int(w[_h32_arr(feats) % CLF_BUCKETS].sum())
+    q = abs(total) // 5
+    expect = q if total >= 0 else -q
+    assert got[1]["n_features"] == 5
+    assert got[1]["clf_score"] == expect
+    assert got[1]["clf_label"] == ("keep" if expect >= 0 else "drop")
+    # doc 2: single token -> 1 unigram feature, no bigrams
+    assert got[2]["n_features"] == 1

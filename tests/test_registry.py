@@ -35,7 +35,7 @@ EXPECTED_PER_MODULE = {
     "ext_decontam": 1,
     "ext_packing": 1,
     "ext_ivf": 1,
-    "ext_quality": 3,
+    "ext_quality": 4,
     "ext_semantic": 1,
     "ext_mixture": 2,
     "ext_pii": 1,
