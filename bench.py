@@ -64,6 +64,7 @@ HEADLINE: tuple[str, ...] = (
     "ext_dedup_substring",      # duplicated W-token span hash-count
     "ext_text_tfidf",           # tf + df shuffles, per-doc top-K window
     "ext_train_order",          # seeded hash permutation, shard-local sorts
+    "ext_curation_scored",      # fused classifier+LM kernel -> span hygiene -> dedup
 )
 
 

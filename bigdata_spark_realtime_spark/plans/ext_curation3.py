@@ -1,0 +1,257 @@
+"""Scored curation pipeline: the round-6 model-based stages composed
+end-to-end.
+
+``ext_curation_full`` (plans/ext_quality.py) is the rule-based pass
+(quality gates → repetition → decontamination → dedup → rebalance).
+This pipeline is its model-based sibling — the shape of a modern
+pretraining-data pipeline where learned scorers gate the corpus before
+structural dedup:
+
+  fastText-style classifier (keep score ≥ CLF_MIN, the tuned operating
+  point) → CCNet LM bucket (drop 'tail') → duplicated-span hygiene
+  (drop docs with > MAX_DUP_SPANS cross-doc W-token windows) →
+  exact-dedup keeper → stratified language rebalance.
+
+Every rule is the STANDALONE operator's rule — same weights, same LM,
+same window hashing, same rates — so a survivor here is explainable by
+the individual audit queries.
+
+Scale (100 TB): the two model scorers run FUSED in one Arrow kernel
+(classifier weights + trained LM ride along as broadcast model
+artifacts), so stages 1–2 add ZERO corpus exchanges and one Python
+pass. The span stage shuffles only 8-byte window hashes and broadcasts
+the (rare) drop-id set back as an anti-join. Corpus ROWS cross the
+wire exactly once — the exact-dedup keeper window — and the rebalance
+is a map-side hash filter. Plan-pinned by tests/test_plan_hygiene.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_spark_realtime_spark.functions import hashing as H
+from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: classifier operating point (fastText thresholds are tuned against a
+#: validation set; ≥ -60 keeps ~60% of the synthetic corpus so every
+#: later stage stays exercised at test SFs)
+CLF_MIN = -60
+#: drop documents with more than this many duplicated W-token window
+#: positions (W = ext_substring.SPAN_W)
+MAX_DUP_SPANS = 10
+
+_ORACLE_TMPL = """
+WITH corpus AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE source != '{eval_source}'
+),
+toks_all AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs_all AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks_all, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+),
+train AS (SELECT w1, w2 FROM pairs_all WHERE {train_bucket} < {train_pct}),
+big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY w1, w2),
+uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(*) AS vocab FROM uni),
+ctoks AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
+         {w_list} AS w
+  FROM corpus
+),
+clf AS (
+  SELECT doc_id, CAST({uni_sum} + {bi_sum} AS BIGINT) AS total,
+         CAST(len(toks) + len(toks) - 1 AS BIGINT) AS nf
+  FROM ctoks WHERE len(toks) >= 2
+),
+clfs AS (SELECT doc_id, CAST(total // nf AS BIGINT) AS clf_score FROM clf),
+cpairs AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM ctoks, unnest(range(len(toks) - 1)) AS u(i) WHERE len(toks) >= 2
+),
+surp AS (
+  SELECT p.doc_id,
+         (COALESCE(u.c1, 0) + v.vocab) * {scale} // (COALESCE(b.c12, 0) + 1) AS s
+  FROM cpairs p CROSS JOIN v
+  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u ON p.w1 = u.w1
+),
+lms AS (
+  SELECT doc_id, CAST(sum(s) // count(*) AS BIGINT) AS lm_score
+  FROM surp GROUP BY doc_id
+),
+surv1 AS (
+  SELECT c.doc_id, c.lang, c.source, c.text, c.toks
+  FROM ctoks c JOIN clfs USING (doc_id) JOIN lms USING (doc_id)
+  WHERE clf_score >= {clf_min} AND lm_score < {middle_max}
+),
+grams AS (
+  SELECT doc_id, {h_sql} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql}) AS g
+        FROM surv1 WHERE len(toks) >= {span_w})
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dropids AS (
+  SELECT g.doc_id FROM grams g JOIN dup USING (h)
+  GROUP BY g.doc_id HAVING count(*) > {max_spans}
+),
+keepers AS (
+  SELECT doc_id, lang, source,
+         min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper_id
+  FROM surv1
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+)
+SELECT doc_id, lang, source, {bucket} AS sample_bucket
+FROM keepers
+WHERE doc_id = keeper_id AND {bucket} < {rate_case}
+"""
+
+
+def _oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.corpus import NORM_SQL
+    from bigdata_spark_realtime_spark.plans.ext_decontam import EVAL_SOURCE
+    from bigdata_spark_realtime_spark.plans.ext_lm import (
+        SCALE,
+        TRAIN_PCT,
+        _TRAIN_BUCKET_SQL,
+        MIDDLE_MAX,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_quality import (
+        _BI_SUM,
+        _UNI_SUM,
+        _W_LIST,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        _BUCKET_SQL,
+        _RATE_CASE_SQL,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_substring import SPAN_W
+
+    return _ORACLE_TMPL.format(
+        eval_source=EVAL_SOURCE,
+        train_bucket=_TRAIN_BUCKET_SQL,
+        train_pct=TRAIN_PCT,
+        w_list=_W_LIST,
+        uni_sum=_UNI_SUM,
+        bi_sum=_BI_SUM,
+        scale=SCALE,
+        clf_min=CLF_MIN,
+        middle_max=MIDDLE_MAX,
+        h_sql=H.h32_sql("g"),
+        shingles_sql=H.shingles_sql("toks", 8),
+        span_w=SPAN_W,
+        max_spans=MAX_DUP_SPANS,
+        norm=NORM_SQL,
+        bucket=_BUCKET_SQL,
+        rate_case=_RATE_CASE_SQL,
+    )
+
+
+def _scored_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–2 fused in one Arrow kernel: classifier + LM scores per
+    doc against the broadcast model artifacts; emits only rows passing
+    both gates (with lang/source/text carried through, so no join-back
+    to documents is ever needed)."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        _h32_arr,
+        _shingle_strs,
+        _toks,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_decontam import EVAL_SOURCE
+    from bigdata_spark_realtime_spark.plans.ext_lm import (
+        MIDDLE_MAX,
+        SCALE,
+        train_lm,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_quality import (
+        CLF_BUCKETS,
+        CLF_W,
+    )
+
+    big, uni, vocab = train_lm(spark, sf_dir)
+    w_arr = np.array(CLF_W, dtype=np.int64)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != EVAL_SOURCE)
+    bc = spark.sparkContext.broadcast((big, uni, vocab))
+
+    def gate(batches):
+        b_big, b_uni, b_vocab = bc.value
+        for pdf in batches:
+            keep = []
+            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+                toks = _toks(text)
+                if len(toks) < 2:
+                    continue
+                feats = toks + _shingle_strs(toks, 2)
+                h = _h32_arr(feats) % CLF_BUCKETS
+                total = int(w_arr[h].sum())
+                q = abs(total) // len(feats)
+                clf_score = q if total >= 0 else -q
+                if clf_score < CLF_MIN:
+                    continue
+                lm_total = 0
+                for w1, w2 in zip(toks[:-1], toks[1:]):
+                    lm_total += (b_uni.get(w1, 0) + b_vocab) * SCALE // (
+                        b_big.get((w1, w2), 0) + 1
+                    )
+                if lm_total // (len(toks) - 1) >= MIDDLE_MAX:
+                    continue  # 'tail' bucket
+                keep.append(i)
+            if keep:
+                yield pdf.iloc[keep][["doc_id", "lang", "source", "text"]]
+
+    sel = corpus.select("doc_id", "lang", "source", "text")
+    return sel.mapInPandas(
+        gate, "doc_id long, lang string, source string, text string"
+    )
+
+
+@register("ext_curation_scored", oracle=_oracle())
+def ext_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation: fused classifier+LM gate (one kernel, zero
+    corpus exchanges) → duplicated-span hygiene (hash-only shuffle,
+    drop-ids broadcast back) → exact-dedup keeper (the single shuffle
+    of corpus rows) → stratified rebalance (map-side)."""
+    from bigdata_spark_realtime_spark.operators.shingling import window_hash_rows
+    from bigdata_spark_realtime_spark.plans.corpus import norm_text
+    from bigdata_spark_realtime_spark.plans.ext_sampling import (
+        DEFAULT_RATE,
+        STRATA_RATES,
+        _sample_bucket,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_substring import SPAN_W
+
+    surv1 = _scored_survivors(spark, sf_dir)
+    grams = window_hash_rows(
+        surv1, SPAN_W, min_parallelism=spark.sparkContext.defaultParallelism
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    drop_ids = (
+        grams.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > MAX_DUP_SPANS)
+        .select("doc_id")
+    )
+    clean = surv1.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    win = Window.partitionBy(F.md5(norm_text(F.col("text"))))
+    keepers = clean.withColumn("keeper_id", F.min("doc_id").over(win))
+    bucket = _sample_bucket(F.col("doc_id"), F.col("lang"))
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        keepers.where(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "lang", "source", bucket.alias("sample_bucket"))
+        .where(F.col("sample_bucket") < rate)
+    )

@@ -333,3 +333,45 @@ def test_classifier_score_matches_manual_dot_product(spark, tmp_path):
     assert got[1]["clf_label"] == ("keep" if expect >= 0 else "drop")
     # doc 2: single token -> 1 unigram feature, no bigrams
     assert got[2]["n_features"] == 1
+
+
+# ---------------------------------------------------------------------------
+# scored curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curation_scored_survivors_pass_standalone_gates(spark, sf_dir):
+    """Every pipeline survivor must be explainable by the standalone
+    operators: classifier score above the operating point, LM bucket
+    not 'tail', and no heavy duplicated-span count."""
+    from bigdata_spark_realtime_spark.plans.ext_curation3 import (
+        CLF_MIN,
+        MAX_DUP_SPANS,
+        ext_curation_scored,
+    )
+
+    specs = load_all()
+    out = ext_curation_scored(spark, sf_dir).collect()
+    assert len(out) > 0
+    ids = {r["doc_id"] for r in out}
+    clf = {r["doc_id"]: r for r in specs["ext_quality_classifier"].fn(spark, sf_dir).collect()}
+    lm = {r["doc_id"]: r for r in specs["ext_lm_score"].fn(spark, sf_dir).collect()}
+    spans = {r["doc_id"]: r for r in specs["ext_dedup_substring"].fn(spark, sf_dir).collect()}
+    for i in ids:
+        assert clf[i]["clf_score"] >= CLF_MIN
+        assert lm[i]["lm_bucket"] in ("head", "middle")
+    # docs with NO corpus-wide duplicated spans can never be dropped by
+    # the span stage (the survivor-subset count is bounded above by the
+    # corpus-wide count), so a clean doc's absence must be explained by
+    # another gate — check one such doc survived end-to-end
+    clean_pass = [
+        d
+        for d in spans
+        if spans[d]["n_dup_spans"] == 0
+        and d in clf
+        and clf[d]["clf_score"] >= CLF_MIN
+        and d in lm
+        and lm[d]["lm_bucket"] in ("head", "middle")
+    ]
+    assert clean_pass, "fixture should have clean gate-passing docs"
+    assert MAX_DUP_SPANS > 0  # span gate is a drop-threshold, not a keep-all

@@ -314,3 +314,16 @@ def test_quality_classifier_is_shuffle_free_kernel(spark, sf_dir):
     assert "MapInPandas" in plan, "scoring must be the Arrow kernel"
     assert "Exchange" not in plan, "the corpus side must not shuffle"
     assert "Join" not in plan
+
+
+def test_curation_scored_shape(spark, sf_dir):
+    """The model-based pipeline: fused scorer kernel (MapInPandas), no
+    SortMergeJoin anywhere (dup set and drop-ids broadcast), and at
+    most 6 exchanges — the span stage's hash-only aggregations plus
+    the single corpus-row shuffle (the dedup window; the one other
+    row-carrying exchange is the small-file widening probe, which
+    never fires at scale)."""
+    plan = _plan(spark, sf_dir, "ext_curation_scored")
+    assert "MapInPandas" in plan, "the fused scorer kernel must be present"
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan

@@ -45,6 +45,7 @@ EXPECTED_PER_MODULE = {
     "ext_order": 1,
     "ext_chunk": 1,
     "ext_profile": 2,
+    "ext_curation3": 1,
     "streaming_queries": 11,
 }
 
