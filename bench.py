@@ -65,6 +65,7 @@ HEADLINE: tuple[str, ...] = (
     "ext_text_tfidf",           # tf + df shuffles, per-doc top-K window
     "ext_train_order",          # seeded hash permutation, shard-local sorts
     "ext_curation_scored",      # fused classifier+LM kernel -> span hygiene -> dedup
+    "ext_bm25_search",          # broadcast query terms, int64 BM25, rank window
 )
 
 

@@ -375,3 +375,32 @@ def test_curation_scored_survivors_pass_standalone_gates(spark, sf_dir):
     ]
     assert clean_pass, "fixture should have clean gate-passing docs"
     assert MAX_DUP_SPANS > 0  # span gate is a drop-threshold, not a keep-all
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_term_stuffed_doc_ranks_first(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_bm25 import ext_bm25_search
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    rows = [
+        (1, "spark window agg spark window agg spark", "en", "s1"),
+        (2, "spark filler filler filler filler filler", "en", "s1"),
+        (3, "unrelated words only here today", "en", "s1"),
+    ]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        out = ext_bm25_search(spark, d).collect()
+    finally:
+        clear_table_cache()
+    sw = sorted(
+        (r for r in out if r["query_id"] == "q_spark_window"),
+        key=lambda r: r["rnk"],
+    )
+    assert sw and sw[0]["doc_id"] == 1  # all three query terms, repeated
+    assert {r["doc_id"] for r in sw} == {1, 2}  # doc 3 has no query term

@@ -327,3 +327,12 @@ def test_curation_scored_shape(spark, sf_dir):
     assert "MapInPandas" in plan, "the fused scorer kernel must be present"
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6, plan
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_dir):
+    """The query-term table must broadcast onto tf so only documents
+    containing a query term survive into scoring; per-query top-K is a
+    rank window, never a global sort."""
+    plan = _plan(spark, sf_dir, "ext_bm25_search")
+    assert "BroadcastHashJoin" in plan, "query terms must broadcast"
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"

@@ -46,6 +46,7 @@ EXPECTED_PER_MODULE = {
     "ext_chunk": 1,
     "ext_profile": 2,
     "ext_curation3": 1,
+    "ext_bm25": 1,
     "streaming_queries": 11,
 }
 
