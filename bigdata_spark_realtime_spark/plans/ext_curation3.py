@@ -226,10 +226,18 @@ def ext_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdata_spark_realtime_spark.plans.ext_substring import SPAN_W
 
-    surv1 = _scored_survivors(spark, sf_dir)
+    # surv1 feeds the gram kernel AND the anti-join/dedup tail; grams
+    # feeds the dup count AND the join-back. Persist both: grams is 2
+    # int64s per window (same policy as the SimHash fingerprint persist,
+    # plans/ext_dedup.py); surv1 carries text, but the default
+    # MEMORY_AND_DISK level spills rather than OOMs at scale and one
+    # spill is cheaper than re-running the fused Python scorer per
+    # consumer — the same call a production pipeline makes when it
+    # checkpoints the survivor set between stages
+    surv1 = _scored_survivors(spark, sf_dir).persist()
     grams = window_hash_rows(
         surv1, SPAN_W, min_parallelism=spark.sparkContext.defaultParallelism
-    )
+    ).persist()
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

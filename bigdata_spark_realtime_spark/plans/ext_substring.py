@@ -94,7 +94,11 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and distinct windows) whose window text occurs verbatim in at
     least one other document."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _window_hashes(docs)
+    # two consumers (the dup-hash count and the per-doc join-back); the
+    # cached frame is 2 int64s per window position — cheaper at any
+    # scale than re-running the Arrow hash kernel per consumer (same
+    # policy as the SimHash fingerprint persist, plans/ext_dedup.py)
+    grams = _window_hashes(docs).persist()
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

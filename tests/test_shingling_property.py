@@ -71,3 +71,57 @@ def test_minhash_kernel_matches_sql_on_random_docs(spark, texts):
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     assert_matches_oracle(minhash_signatures(df), con, MINHASH_SQL)
+
+
+WINDOW_HASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, {H.h32_sql('g')} AS h
+FROM (SELECT doc_id, unnest({H.shingles_sql('toks', 4)}) AS g
+      FROM t WHERE len(toks) >= 4)
+"""
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=12))
+def test_window_hash_kernel_matches_sql_on_random_docs(spark, texts):
+    from bigdata_spark_realtime_spark.operators.shingling import window_hash_rows
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert_matches_oracle(window_hash_rows(df, 4), con, WINDOW_HASH_SQL)
+
+
+PAIR_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+FROM t, unnest(range(len(toks) - 1)) AS u(i)
+WHERE len(toks) >= 2
+"""
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=12))
+def test_token_pair_kernel_matches_sql_on_random_docs(spark, texts):
+    from bigdata_spark_realtime_spark.operators.shingling import token_pair_rows
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert_matches_oracle(token_pair_rows(df), con, PAIR_SQL)
