@@ -41,6 +41,15 @@ from bigdata_spark_realtime_spark.functions import hashing as H
 _A = np.array(H.MINHASH_A, dtype=np.int64).reshape(-1, 1)  # (K, 1)
 _B = np.array(H.MINHASH_B, dtype=np.int64).reshape(-1, 1)
 
+#: per-flush token budget for the wide kernels. The MinHash permutation
+#: block is (K=64, n_shingles) and the SimHash contrib matrix is
+#: (n_tokens, 64) — O(tokens × 64 × 8 B) transients that would scale
+#: with the Arrow batch (an unbounded ~300 MB per task at 10k dense
+#: docs/batch; measured killing a default-sized JVM at 10× sf0.1).
+#: Flushing at doc boundaries every 2^16 tokens caps the transient at
+#: ~34 MB per task regardless of batch size or document length mix.
+_TOKEN_CHUNK = 1 << 16
+
 _SIG_SCHEMA = "doc_id long, " + ", ".join(f"m{j} long" for j in range(H.K))
 
 
@@ -116,6 +125,16 @@ def minhash_signatures(
     int64s per doc; nothing upstream of the LSH band exchange ever
     shuffles."""
 
+    def flush(ids, hs_parts, starts):
+        hs = np.concatenate(hs_parts)  # (n_shingles,)
+        # universal-hash permutations: values < P^2 ~ 2^60, inside int64
+        sig = (_A * hs + _B) % H.P  # (K, n_shingles)
+        mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+        out = {"doc_id": np.array(ids, dtype=np.int64)}
+        for j in range(H.K):
+            out[f"m{j}"] = mins[j]
+        return pd.DataFrame(out)
+
     def gen(batches):
         for pdf in batches:
             ids, hs_parts, starts, pos = [], [], [], 0
@@ -127,16 +146,11 @@ def minhash_signatures(
                 starts.append(pos)
                 hs_parts.append(_h32_arr(sh) % H.P)
                 pos += len(sh)
-            if not ids:
-                continue
-            hs = np.concatenate(hs_parts)  # (n_shingles,)
-            # universal-hash permutations: values < P^2 ~ 2^60, inside int64
-            sig = (_A * hs + _B) % H.P  # (K, n_shingles)
-            mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
-            out = {"doc_id": np.array(ids, dtype=np.int64)}
-            for j in range(H.K):
-                out[f"m{j}"] = mins[j]
-            yield pd.DataFrame(out)
+                if pos >= _TOKEN_CHUNK:
+                    yield flush(ids, hs_parts, starts)
+                    ids, hs_parts, starts, pos = [], [], [], 0
+            if ids:
+                yield flush(ids, hs_parts, starts)
 
     return _doc_rows(docs, min_parallelism).mapInPandas(gen, _SIG_SCHEMA)
 
@@ -151,6 +165,21 @@ def minhash_band_keys(
     contract shared with the SQL oracle (functions/hashing.py):
     k1 = m[4b]·P + m[4b+1], k2 = m[4b+2]·P + m[4b+3] < P² ≈ 2^60."""
 
+    def flush(ids, hs_parts, starts):
+        hs = np.concatenate(hs_parts)
+        sig = (_A * hs + _B) % H.P
+        mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+        n = len(ids)
+        ids_arr = np.array(ids, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids_arr, H.N_BANDS),
+                "band": np.tile(np.arange(H.N_BANDS, dtype=np.int32), n),
+                "k1": (mins[0::4] * H.P + mins[1::4]).T.reshape(-1),
+                "k2": (mins[2::4] * H.P + mins[3::4]).T.reshape(-1),
+            }
+        )
+
     def gen(batches):
         for pdf in batches:
             ids, hs_parts, starts, pos = [], [], [], 0
@@ -162,23 +191,11 @@ def minhash_band_keys(
                 starts.append(pos)
                 hs_parts.append(_h32_arr(sh) % H.P)
                 pos += len(sh)
-            if not ids:
-                continue
-            hs = np.concatenate(hs_parts)
-            sig = (_A * hs + _B) % H.P
-            mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
-            n = len(ids)
-            ids_arr = np.array(ids, dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(ids_arr, H.N_BANDS),
-                    "band": np.tile(
-                        np.arange(H.N_BANDS, dtype=np.int32), n
-                    ),
-                    "k1": (mins[0::4] * H.P + mins[1::4]).T.reshape(-1),
-                    "k2": (mins[2::4] * H.P + mins[3::4]).T.reshape(-1),
-                }
-            )
+                if pos >= _TOKEN_CHUNK:
+                    yield flush(ids, hs_parts, starts)
+                    ids, hs_parts, starts, pos = [], [], [], 0
+            if ids:
+                yield flush(ids, hs_parts, starts)
 
     return _doc_rows(docs, min_parallelism).mapInPandas(
         gen, "doc_id long, band int, k1 long, k2 long"
@@ -369,6 +386,25 @@ def simhash_fingerprints(
     ``add.reduceat``, fingerprint bit i = sign of sum i with bit 63
     applied as -2^63 exactly like the JVM/DuckDB forms."""
 
+    def flush(ids, lo_parts, hi_parts, starts):
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        # (n_tokens, 64) of ±1: bits 0..31 from h_lo, 32..63 from h_hi
+        contrib = np.concatenate(
+            [
+                ((lo[:, None] >> _SHIFTS) & 1) * 2 - 1,
+                ((hi[:, None] >> _SHIFTS) & 1) * 2 - 1,
+            ],
+            axis=1,
+        )
+        sums = np.add.reduceat(contrib, np.array(starts), axis=0)  # (n_docs, 64)
+        pos_bits = sums > 0
+        # positive terms sum to <= 2^63 - 1: no int64 overflow before
+        # the final negative sign-bit term
+        v = (pos_bits[:, :63] * _COMBINE_W).sum(axis=1, dtype=np.int64)
+        v = v + np.where(pos_bits[:, 63], _SIGN_BIT, np.int64(0))
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "simhash": v})
+
     def gen(batches):
         for pdf in batches:
             ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
@@ -388,25 +424,11 @@ def simhash_fingerprints(
                     np.fromiter((int(d[8:16], 16) for d in digs), np.int64, len(digs))
                 )
                 pos += len(digs)
-            if not ids:
-                continue
-            lo = np.concatenate(lo_parts)
-            hi = np.concatenate(hi_parts)
-            # (n_tokens, 64) of ±1: bits 0..31 from h_lo, 32..63 from h_hi
-            contrib = np.concatenate(
-                [
-                    ((lo[:, None] >> _SHIFTS) & 1) * 2 - 1,
-                    ((hi[:, None] >> _SHIFTS) & 1) * 2 - 1,
-                ],
-                axis=1,
-            )
-            sums = np.add.reduceat(contrib, np.array(starts), axis=0)  # (n_docs, 64)
-            pos_bits = sums > 0
-            # positive terms sum to <= 2^63 - 1: no int64 overflow before
-            # the final negative sign-bit term
-            v = (pos_bits[:, :63] * _COMBINE_W).sum(axis=1, dtype=np.int64)
-            v = v + np.where(pos_bits[:, 63], _SIGN_BIT, np.int64(0))
-            yield pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64), "simhash": v})
+                if pos >= _TOKEN_CHUNK:
+                    yield flush(ids, lo_parts, hi_parts, starts)
+                    ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
+            if ids:
+                yield flush(ids, lo_parts, hi_parts, starts)
 
     return _doc_rows(docs, min_parallelism).mapInPandas(
         gen, "doc_id long, simhash long"

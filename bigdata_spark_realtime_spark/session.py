@@ -55,6 +55,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs every executor thread inside the driver JVM,
+        # so Spark's 1g default heap is the whole engine's memory — at
+        # 32 concurrent tasks streaming Arrow batches it dies with
+        # GCLocker allocation failures (measured at 10× sf0.1). Size it
+        # like an executor; on a real cluster spark-submit overrides
+        # this per-role. Only effective at JVM launch (getOrCreate
+        # reusing a live session keeps its heap).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # determinism / oracle comparability
         .config("spark.sql.session.timeZone", "UTC")
         # serving tables partition by the STRING dt column (reference
