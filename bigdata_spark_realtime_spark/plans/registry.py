@@ -78,8 +78,17 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    # new this round, registered AFTER the pinned window (51+): covered
-    # by the local oracle mirror now, rotate into the external gate next
+    # new in round 6, registered AFTER the pinned window (51+): covered
+    # by BOTH local mirrors now (all-queries at sf0.001 AND the
+    # out-of-window tail at the driver's sf0.01 —
+    # tests/test_queries_oracle_driver_sf.py). ROUND-7 PLAN: rotate the
+    # 20 never-driver-verified queries below (ext_quality×4, ext_semantic,
+    # ext_mixture×2, ext_pii, ext_lm, ext_substring, ext_tfidf, ext_order,
+    # ext_chunk, ext_profile×2, ext_curation3, ext_bm25,
+    # stream_decontaminate, stream_dedup_minhash, stream_lm_bucket) into
+    # the first-50 window, then fill the remaining 30 slots with the
+    # oldest-verified rows (r5's tpch block); update the
+    # tests/test_registry.py window pin in the same commit.
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",

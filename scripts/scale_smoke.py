@@ -1,0 +1,122 @@
+"""10× scale smoke: replicate the sf0.1 documents/embeddings tables and
+time the corpus-heavy operators on the larger copy.
+
+This is the scaling-evidence harness behind README's "Measured 10×
+scaling" numbers: it verifies that the dedup/scoring family degrades
+sublinearly-to-linearly per row (and that nothing OOMs — the round-6
+kernel-memory bound and JVM sizing came out of this script's first
+run). Prints one JSON line per scale with warm per-query seconds.
+
+Usage::
+
+    python scripts/scale_smoke.py            # builds /tmp copy on first run
+    SPARK_GRAFT_SMOKE_REPS=10 python scripts/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "10"))
+BIG = os.environ.get("SPARK_GRAFT_SMOKE_DIR", f"/tmp/bsr_smoke_{REPS}x")
+
+SMOKE_QUERIES = (
+    "ext_dedup_exact",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_simhash_pairs",
+    "ext_dedup_substring",
+    "ext_dedup_embedding_srp",
+    "ext_lm_score",
+    "ext_train_order",
+    "ext_curation_scored",
+)
+
+
+def build_copy(spark) -> None:
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    if os.path.exists(os.path.join(BIG, "documents.parquet")):
+        return
+    os.makedirs(BIG, exist_ok=True)
+    docs = load_table(spark, BASE, "documents")
+    n = docs.count()
+    def replica_text(r: int):
+        # suffix EVERY token with the replica index: replicas share no
+        # shingles/windows with each other or the original, so the
+        # dedup family's pair-output stays proportional to the organic
+        # duplicate structure (10× rows → 10× pairs) and the smoke
+        # measures row scaling, not a synthetic 45×-pair blow-up (a
+        # tail-only marker left replicas within hamming<=3 of their
+        # originals, inflating SimHash verify work ~10× beyond linear)
+        if r == 0:
+            return F.col("text")
+        toks = F.split("text", " ", -1)
+        return F.array_join(
+            F.transform(toks, lambda t: F.concat(t, F.lit(f"_{r}"))), " "
+        )
+
+    parts = [
+        docs.select(
+            (F.col("doc_id") + r * n).alias("doc_id"),
+            replica_text(r).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(REPS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(BIG, "documents.parquet")
+    )
+    emb = load_table(spark, BASE, "embeddings")
+    m = emb.count()
+    eparts = [
+        emb.select((F.col("vec_id") + r * m).alias("vec_id"), *emb.columns[1:])
+        for r in range(REPS)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(BIG, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    from bigdata_spark_realtime_spark.plans import registry
+    from bigdata_spark_realtime_spark.session import get_spark
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="bsr-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+    build_copy(spark)
+
+    for sf_dir, tag in ((BASE, "1x"), (BIG, f"{REPS}x")):
+        load_table(spark, sf_dir, "documents").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings = {}
+        for name in SMOKE_QUERIES:
+            fn = specs[name].fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"scale": tag, "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
