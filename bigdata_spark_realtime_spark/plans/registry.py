@@ -86,9 +86,11 @@ _PLAN_MODULES = (
     # ext_mixture×2, ext_pii, ext_lm, ext_substring, ext_tfidf, ext_order,
     # ext_chunk, ext_profile×2, ext_curation3, ext_bm25,
     # stream_decontaminate, stream_dedup_minhash, stream_lm_bucket) into
-    # the first-50 window, then fill the remaining 30 slots with the
+    # the first-50 window, then fill the remaining slots with the
     # oldest-verified rows (r5's tpch block); update the
-    # tests/test_registry.py window pin in the same commit.
+    # tests/test_registry.py window pin in the same commit. (The list
+    # below grew to 21 with ext_hybrid — still fits one 50-slot window
+    # with 29 slots to spare.)
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
