@@ -429,3 +429,21 @@ def test_hybrid_rrf_rewards_presence_in_both_rankings(spark, sf_dir):
         rows = sorted(rows, key=lambda r: r["rnk"])
         scores = [r["rrf_score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_estimate_within_tolerance(spark, sf_dir):
+    """The mergeable-sketch state must reconstruct an estimate within
+    the expected HLL error band (~1.04/sqrt(256) ≈ 6.5% std; allow
+    3 sigma) of the exact distinct count carried beside it."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch import (
+        ext_hll_distinct,
+        hll_estimate,
+    )
+
+    rows = ext_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est = hll_estimate(r["hll_sum_scaled"], r["hll_nonzero_regs"])
+        assert abs(est - r["exact_distinct"]) <= 0.20 * max(
+            r["exact_distinct"], 10
+        ), (r["event_type"], est, r["exact_distinct"])
