@@ -804,3 +804,58 @@ def stream_lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_bigrams", "lm_score", bucket.alias("lm_bucket"))
     )
+
+
+def _stream_hll_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_sketch import HLL_ORACLE
+
+    return HLL_ORACLE
+
+
+@register("stream_hll_distinct", oracle=_stream_hll_oracle())
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch as continuous intake — the modern shape of the
+    reference's flagship DAU metric (`app/dwd_DauApp.scala`: distinct
+    actives): approximate distinct users per event type, live. Register
+    maxes are associative, so the complete-mode (event_type, bucket)
+    max aggregation merges sketch state ACROSS micro-batches — 256
+    int64s of state per group forever, no per-user state, no distinct
+    shuffle — and after draining the replay the register table is
+    bit-identical to the batch operator's, so the oracle is the batch
+    SQL. The exact-count comparison column comes from the (identical)
+    batch table, as in the other stream twins."""
+    from bigdata_spark_realtime_spark.functions import hashing as H
+    from bigdata_spark_realtime_spark.plans.ext_sketch import M, S
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    hv = H.h32(F.col("user_id").cast("string"))
+    w = F.expr(f"hv DIV {M}")
+    rank = F.when(w == 0, 25).otherwise(25 - F.length(F.bin(w)))
+    ranked = ev.select("event_type", hv.alias("hv")).select(
+        "event_type", F.expr(f"hv % {M}").alias("bucket"), rank.alias("rank")
+    )
+    regs_stream = ranked.groupBy("event_type", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    regs = _drain_to_memory(regs_stream, spark, output_mode="complete")
+    st = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - reg)")).alias(
+            "sum_present"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return st.join(ex, "event_type").select(
+        "event_type",
+        (
+            F.col("sum_present")
+            + (F.lit(M) - F.col("n_buckets")) * F.lit(1 << S)
+        ).cast("long").alias("hll_sum_scaled"),
+        F.col("n_buckets").cast("long").alias("hll_nonzero_regs"),
+        "exact_distinct",
+    )

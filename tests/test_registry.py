@@ -49,7 +49,7 @@ EXPECTED_PER_MODULE = {
     "ext_bm25": 1,
     "ext_hybrid": 1,
     "ext_sketch": 1,
-    "streaming_queries": 11,
+    "streaming_queries": 12,
 }
 
 #: The exact first-50 registration window the round-6 external
