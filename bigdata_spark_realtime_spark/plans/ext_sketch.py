@@ -133,3 +133,117 @@ def ext_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_buckets").cast("long").alias("hll_nonzero_regs"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch over document token frequencies
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: D independent hash rows × W counters
+CMS_D = 4
+CMS_W = 64
+#: fixed probe tokens (drawn from the synthetic vocab so every SF has
+#: real counts to compare against)
+CMS_PROBES = (
+    "spark", "table", "join", "window", "customer",
+    "query", "hash", "order", "scan", "value",
+)
+
+_PROBE_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS token" for t in CMS_PROBES
+)
+
+
+def _cms_hash_sql(d: int, token_expr: str) -> str:
+    """Row-d bucket of a token: h32('cms{d}|' || token) % W."""
+    keyed = f"'cms{d}|' || {token_expr}"
+    return f"{H.h32_sql(keyed)} % {CMS_W}"
+
+
+_CMS_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_cms_hash_sql(d, 'token')} AS w, cnt FROM tokc"
+    for d in range(CMS_D)
+)
+
+CMS_ORACLE = f"""
+WITH tokc AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+cms AS (
+  SELECT d, w, CAST(sum(cnt) AS BIGINT) AS c
+  FROM ({_CMS_ROWS_SQL})
+  GROUP BY d, w
+),
+probes AS ({_PROBE_SQL}),
+est AS (
+  SELECT p.token,
+         min(cms.c) AS est_count
+  FROM probes p
+  JOIN cms ON ({" OR ".join(f"(cms.d = {d} AND cms.w = {_cms_hash_sql(d, 'p.token')})" for d in range(CMS_D))})
+  GROUP BY p.token
+),
+ex AS (
+  SELECT p.token, COALESCE(t.cnt, 0) AS exact_count
+  FROM probes p LEFT JOIN tokc t USING (token)
+)
+SELECT ex.token, CAST(est.est_count AS BIGINT) AS est_count, ex.exact_count
+FROM ex JOIN est USING (token)
+"""
+
+
+@register("ext_cms_freq", oracle=CMS_ORACLE)
+def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over document
+    token frequencies: D=4 hash rows × W=64 counters, probe-token
+    estimates beside exact counts.
+
+    CMS is the frequency-sketch sibling of the HLL above and the
+    easiest of all sketches to verify cross-engine: every cell is an
+    integer SUM (mergeable by plain addition — partials from any
+    partitioning combine exactly) and the point estimate is an integer
+    MIN over D cells, so the oracle matches bit-for-bit with no float
+    anywhere. The estimate over-counts, never under-counts
+    (est ≥ exact always — pinned in tests).
+
+    Scale (100 TB): the kernel-side shape aggregates per-token counts
+    first (one shuffle of the vocabulary-sized token counts — already
+    required by any df/tf computation and shared with tf-idf/BM25),
+    then folds them into D×W = 256 cells; the sketch table itself is
+    256 rows regardless of corpus size, and production would maintain
+    it incrementally by adding per-batch partial sketches."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokc = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = None
+    for d in range(CMS_D):
+        bucket = H.h32(F.concat(F.lit(f"cms{d}|"), F.col("token"))) % CMS_W
+        part = tokc.select(
+            F.lit(d).alias("d"), bucket.alias("w"), F.col("cnt")
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    cms = rows.groupBy("d", "w").agg(F.sum("cnt").alias("c"))
+
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBES], "token string"
+    )
+    probe_cells = None
+    for d in range(CMS_D):
+        bucket = H.h32(F.concat(F.lit(f"cms{d}|"), F.col("token"))) % CMS_W
+        part = probes.select(
+            "token", F.lit(d).alias("d"), bucket.alias("w")
+        )
+        probe_cells = part if probe_cells is None else probe_cells.unionByName(part)
+    est = (
+        probe_cells.join(F.broadcast(cms), ["d", "w"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_count"))
+    )
+    ex = probes.join(tokc, "token", "left").select(
+        "token", F.coalesce("cnt", F.lit(0)).alias("exact_count")
+    )
+    return ex.join(est, "token").select("token", "est_count", "exact_count")

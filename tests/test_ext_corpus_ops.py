@@ -447,3 +447,17 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
         assert abs(est - r["exact_distinct"]) <= 0.20 * max(
             r["exact_distinct"], 10
         ), (r["event_type"], est, r["exact_distinct"])
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The Count-Min guarantee: every probe estimate is >= the exact
+    count (cells only ever ADD colliding tokens' counts)."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch import (
+        CMS_PROBES,
+        ext_cms_freq,
+    )
+
+    rows = ext_cms_freq(spark, sf_dir).collect()
+    assert {r["token"] for r in rows} == set(CMS_PROBES)
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r

@@ -48,7 +48,7 @@ EXPECTED_PER_MODULE = {
     "ext_curation3": 1,
     "ext_bm25": 1,
     "ext_hybrid": 1,
-    "ext_sketch": 1,
+    "ext_sketch": 2,
     "streaming_queries": 12,
 }
 
