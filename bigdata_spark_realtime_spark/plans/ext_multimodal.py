@@ -102,3 +102,57 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sq_norm"),
     )
+
+
+#: frame-sampling window for the documents-as-media replay (bytes)
+FRAME_BYTES = 100
+
+# VARCHAR substring is byte-exact here because the synthetic documents
+# are pure ASCII (verified: octet_length(encode(text)) == length(text)
+# at every SF); a non-ASCII regeneration would fail this oracle loudly
+# rather than silently diverge (DuckDB has no BLOB substring to do the
+# byte-true form).
+FRAMES_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_checksum
+FROM (SELECT doc_id, text FROM documents),
+     unnest(range(greatest(length(text) // {FRAME_BYTES}, 1))) AS u(i)
+"""
+
+
+# NOTE: frames/resize are REGISTERED by plans/ext_media_tail.py, which
+# sits after the pinned round-6 gate window in registry._PLAN_MODULES —
+# decorating them here would splice two queries into the middle of the
+# first-50 window and silently evict its last two entries from the
+# external gate.
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1→N binary explode): one frame per 100-byte
+    payload window with an md5 frame checksum — the mapInPandas shape a
+    real keyframe extractor (ffmpeg) plugs into; the real-media variant
+    is exercised over the PNG/WAV fixtures in tests/test_multimodal.py.
+    Every output column is byte-derivable, so the oracle is exact."""
+    from bigdata_spark_realtime_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), every_n_bytes=FRAME_BYTES)
+
+
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the REAL media fixtures: PNG payloads are
+    decoded, nearest-neighbor resampled to 8×8 and re-encoded on
+    executors (operators/media_codec — no image libraries); WAV/other
+    payloads take the deterministic hash-thumbnail path. Rows-only in
+    the gate (a re-encoded PNG's zlib bytes aren't SQL-derivable);
+    pixel-exact resampling is pinned against numpy ground truth in
+    tests/test_media_codec.py::test_resize_media_really_resamples."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.operators.multimodal import resize_media
+
+    media = spark.read.parquet(os.path.join(ensure_media_fixtures(), "media.parquet"))
+    out = resize_media(media, width=8, height=8)
+    return out.select(
+        "media_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )

@@ -105,6 +105,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_bm25",
     "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_sketch",
+    "bigdata_spark_realtime_spark.plans.ext_media_tail",
 )
 
 

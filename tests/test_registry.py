@@ -28,7 +28,11 @@ EXPECTED_PER_MODULE = {
     "ext_dedup": 7,
     "ext_similarity": 2,
     "ext_text": 4,
-    "ext_multimodal": 3,
+    # frames/resize are DEFINED in ext_multimodal (so fn.__module__
+    # counts them there) but REGISTERED by the ext_media_tail shim so
+    # they land after the pinned round-6 gate window
+    "ext_multimodal": 5,
+    "ext_media_tail": 0,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -145,7 +149,9 @@ def test_per_module_registered_query_counts():
 
     specs = registry.load_all()
     got = Counter(s.fn.__module__.rsplit(".", 1)[-1] for s in specs.values())
-    assert dict(got) == EXPECTED_PER_MODULE
+    # zero-count entries are registration shims (queries defined in one
+    # module, registered from another to stay out of the gate window)
+    assert dict(got) == {k: v for k, v in EXPECTED_PER_MODULE.items() if v}
     assert sum(got.values()) == sum(EXPECTED_PER_MODULE.values()) == len(specs)
 
 
