@@ -40,11 +40,32 @@ STRIDE = 31  # centroid picks: vec_id ≡ OFFSET (mod STRIDE), first N_CELLS
 OFFSET = 7
 
 # The oracle replays the whole index: same centroid slice, same
-# argmin-by-(distance, cell) assignment (list_distance is Euclidean —
-# monotone in the squared distance the Spark fold computes, so the
-# orderings agree), same n_probe selection, then exact brute-force
-# truth restricted to the probed cells.
+# argmin-by-(distance, cell) assignment, same n_probe selection, then
+# exact brute-force truth restricted to the probed cells.
+#
+# The assignment distance is the SAME left-to-right squared-L2 fold the
+# Spark side computes (operators/similarity._sq_dist) — NOT DuckDB's
+# list_distance: sqrt(own-order accumulation) is monotone in exact
+# arithmetic but can order a near-equidistant centroid pair differently
+# at the last ULP, flipping a cell assignment only on one engine
+# (round-6 review finding). list_reduce's first-element init equals
+# Spark's 0.0 init exactly (0.0 + x == x for the non-negative squares),
+# so the two folds are bit-identical.
 _COS = "round(list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]), 4)"
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    # parenthesize: a cast-then-index `x::DOUBLE[][i]` is a parse error
+    return (
+        f"list_reduce(list_transform(range(len(({a}))), i -> "
+        f"(({a})[i + 1] - ({b})[i + 1]) * (({a})[i + 1] - ({b})[i + 1])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+SQD_E = _sq_dist_sql("e.embedding::DOUBLE[]", "c.centroid")
+SQD_Q = _sq_dist_sql("q.embedding::DOUBLE[]", "c.centroid")
+
 IVF_ORACLE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -57,7 +78,7 @@ assigned AS (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell
+             ORDER BY {SQD_E}, c.cell
            ) AS rn
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
@@ -67,7 +88,7 @@ probed AS (
     SELECT q.vec_id AS query_id, c.cell,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY list_distance(q.embedding::DOUBLE[], c.centroid), c.cell
+             ORDER BY {SQD_Q}, c.cell
            ) AS rn
     FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
   ) WHERE rn <= {N_PROBE}

@@ -56,8 +56,26 @@ _STATS_SQL = f"""
   FROM documents GROUP BY lang
 """
 
+# the sqrt-sum denominator folds over the languages in SORTED order
+# (list_sort → left-to-right list_reduce): an unordered float SUM here
+# is accumulation-order-dependent and a 1-ULP difference would flip
+# rate_bucket's floor at an exact-boundary value — the one remaining
+# cross-engine hazard the round-6 review flagged. The n_tokens total is
+# an integer sum (exact in any order) and every other step is a single
+# correctly-rounded IEEE op on identical inputs.
 _WEIGHTED_SQL = f"""
-  SELECT lang, n_docs, n_tokens, p, sqrt(p) / sum(sqrt(p)) OVER () AS w
+  SELECT lang, n_docs, n_tokens, p,
+         sqrt(p) / (
+           SELECT list_reduce(
+                    list_transform(
+                      list_sort(list({{'lang': lang, 'sp': sqrt(p)}})),
+                      x -> x.sp),
+                    (a, b) -> a + b)
+           FROM (
+             SELECT lang, n_tokens::DOUBLE / sum(n_tokens) OVER () AS p
+             FROM ({_STATS_SQL})
+           )
+         ) AS w
   FROM (
     SELECT lang, n_docs, n_tokens,
            n_tokens::DOUBLE / sum(n_tokens) OVER () AS p
@@ -105,9 +123,20 @@ def _weighted(docs: DataFrame) -> DataFrame:
             "p"
         ),
     )
-    return with_p.withColumn(
-        "w", F.sqrt("p") / F.sum(F.sqrt("p")).over(everything)
+    # denominator via a SORTED left-to-right fold, not an unordered
+    # float sum — see the _WEIGHTED_SQL comment (cross-engine ULP)
+    sp = with_p.withColumn("sp", F.sqrt("p"))
+    den = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("lang", "sp")).over(everything)
+            ),
+            lambda x: x["sp"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    return sp.withColumn("w", F.col("sp") / den).drop("sp")
 
 
 def _rate_bucket() -> F.Column:

@@ -57,6 +57,11 @@ OFFSET = 7
 # drop rank. count(*) OVER (PARTITION BY cell) equals the cell size
 # because every member of a cell with >= 2 vectors appears in `sims`
 # (it has at least one cell-mate) and size-1 cells produce no rows.
+# assignment distance = the Spark-side squared-L2 fold, bit-identical
+# (see plans/ext_ivf.py: list_distance's sqrt'd own-order accumulation
+# can flip a near-equidistant assignment at the last ULP)
+from bigdata_spark_realtime_spark.plans.ext_ivf import SQD_E  # noqa: E402
+
 SEMANTIC_ORACLE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -69,7 +74,7 @@ assigned AS (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid), c.cell
+             ORDER BY {SQD_E}, c.cell
            ) AS rn
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
