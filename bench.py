@@ -131,6 +131,9 @@ def main() -> None:
                 ).save()
             except Exception as e:  # noqa: BLE001 — report partial numbers, loudly
                 errors[name] = repr(e)[:300]
+                # a pass-1 success must not leave a stale timing behind a
+                # pass-2 failure: partial_sum_sec is the SURVIVORS' sum
+                timings.pop(name, None)
                 print(f"bench: query {name} FAILED: {e!r}"[:500], file=sys.stderr)
                 continue
             timings[name] = round(time.perf_counter() - t0, 3)

@@ -91,14 +91,20 @@ def _num_partitions(df: DataFrame) -> int:
     if _NPART_MEMO.get(key) is df:
         return _NPART[key]
     n = df.rdd.getNumPartitions()
+    # prune counts whose weak entry died (otherwise every GC'd frame
+    # leaves a permanent orphan int for the process lifetime)
+    for dead in _NPART.keys() - _NPART_MEMO.keys():
+        del _NPART[dead]
     _NPART_MEMO[key] = df  # weak: entry dies with the frame, id can't alias
     _NPART[key] = n
     return n
 
 
-def _doc_rows(docs: DataFrame, min_parallelism: int | None) -> DataFrame:
-    """(doc_id, text) input for a kernel, round-robin widened ONLY when
-    the scan yields fewer partitions than requested.
+def _doc_rows(
+    docs: DataFrame, min_parallelism: int | None, key_col: str = "doc_id"
+) -> DataFrame:
+    """(<key_col>, text) input for a kernel, round-robin widened ONLY
+    when the scan yields fewer partitions than requested.
 
     The kernels' parallelism equals the input's partition count; a
     100 TB corpus has orders of magnitude more file splits than cores,
@@ -108,10 +114,39 @@ def _doc_rows(docs: DataFrame, min_parallelism: int | None) -> DataFrame:
     whole md5 pass on one worker. Callers that advertise a
     strictly-zero-exchange plan (decontamination's corpus side) pass
     None."""
-    sel = docs.select("doc_id", "text")
+    sel = docs.select(key_col, "text")
     if min_parallelism and _num_partitions(docs) < min_parallelism:
         return sel.repartition(min_parallelism)
     return sel
+
+
+def _chunked_minhash_gen(w: int, flush):
+    """Shared batching loop for the MinHash kernels: accumulate per-doc
+    hashed-shingle arrays and flush (at doc boundaries) whenever the
+    running token count crosses _TOKEN_CHUNK — the memory bound — or
+    the batch ends. ``flush(ids, hs_parts, starts) -> DataFrame`` is
+    the only part the two kernels differ in; keeping the loop in one
+    place means a chunking/NULL-handling fix can never silently apply
+    to one kernel and not the other."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs_parts, starts, pos = [], [], [], 0
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _shingle_strs(_toks(text), w)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                starts.append(pos)
+                hs_parts.append(_h32_arr(sh) % H.P)
+                pos += len(sh)
+                if pos >= _TOKEN_CHUNK:
+                    yield flush(ids, hs_parts, starts)
+                    ids, hs_parts, starts, pos = [], [], [], 0
+            if ids:
+                yield flush(ids, hs_parts, starts)
+
+    return gen
 
 
 def minhash_signatures(
@@ -135,23 +170,7 @@ def minhash_signatures(
             out[f"m{j}"] = mins[j]
         return pd.DataFrame(out)
 
-    def gen(batches):
-        for pdf in batches:
-            ids, hs_parts, starts, pos = [], [], [], 0
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                sh = _shingle_strs(_toks(text), w)
-                if not sh:
-                    continue
-                ids.append(doc_id)
-                starts.append(pos)
-                hs_parts.append(_h32_arr(sh) % H.P)
-                pos += len(sh)
-                if pos >= _TOKEN_CHUNK:
-                    yield flush(ids, hs_parts, starts)
-                    ids, hs_parts, starts, pos = [], [], [], 0
-            if ids:
-                yield flush(ids, hs_parts, starts)
-
+    gen = _chunked_minhash_gen(w, flush)
     return _doc_rows(docs, min_parallelism).mapInPandas(gen, _SIG_SCHEMA)
 
 
@@ -180,23 +199,7 @@ def minhash_band_keys(
             }
         )
 
-    def gen(batches):
-        for pdf in batches:
-            ids, hs_parts, starts, pos = [], [], [], 0
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                sh = _shingle_strs(_toks(text), w)
-                if not sh:
-                    continue
-                ids.append(doc_id)
-                starts.append(pos)
-                hs_parts.append(_h32_arr(sh) % H.P)
-                pos += len(sh)
-                if pos >= _TOKEN_CHUNK:
-                    yield flush(ids, hs_parts, starts)
-                    ids, hs_parts, starts, pos = [], [], [], 0
-            if ids:
-                yield flush(ids, hs_parts, starts)
-
+    gen = _chunked_minhash_gen(w, flush)
     return _doc_rows(docs, min_parallelism).mapInPandas(
         gen, "doc_id long, band int, k1 long, k2 long"
     )
@@ -231,10 +234,16 @@ def shingle_sets(
     )
 
 
-def shingle_rows(docs: DataFrame, w: int) -> DataFrame:
+def shingle_rows(
+    docs: DataFrame, w: int, min_parallelism: int | None = None
+) -> DataFrame:
     """(doc_id, shingle) DISTINCT-per-doc rows, emitted map-side with no
     window and no shuffle — the decontamination shape: the corpus side
-    stays un-exchanged all the way into the broadcast semi-join."""
+    stays un-exchanged all the way into the broadcast semi-join (those
+    callers keep the default ``min_parallelism=None`` for their
+    zero-exchange contract; consumers that already pay a downstream
+    shuffle — boilerplate discovery — pass a parallelism floor so a
+    single-partition scan doesn't serialize the md5 pass)."""
 
     def gen(batches):
         for pdf in batches:
@@ -249,7 +258,7 @@ def shingle_rows(docs: DataFrame, w: int) -> DataFrame:
                 {"doc_id": np.array(ids, dtype=np.int64), "shingle": shingles}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _doc_rows(docs, min_parallelism).mapInPandas(
         gen, "doc_id long, shingle string"
     )
 
@@ -285,10 +294,9 @@ def window_hash_rows(
                 continue
             yield pd.DataFrame({key_col: keys, "h": np.concatenate(hashes)})
 
-    sel = docs.select(key_col, "text")
-    if min_parallelism and _num_partitions(docs) < min_parallelism:
-        sel = sel.repartition(min_parallelism)
-    return sel.mapInPandas(gen, f"{key_col} {key_type}, h long")
+    return _doc_rows(docs, min_parallelism, key_col=key_col).mapInPandas(
+        gen, f"{key_col} {key_type}, h long"
+    )
 
 
 def token_pair_rows(

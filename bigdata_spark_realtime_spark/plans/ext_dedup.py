@@ -264,6 +264,14 @@ def _candidates_from_docs(docs: DataFrame) -> DataFrame:
         docs, min_parallelism=docs.sparkSession.sparkContext.defaultParallelism
     )
     cand = _bucket_pairs(bands, ("band", "k1", "k2"))
+    # bound the memo: a regenerated table yields a NEW docs frame (the
+    # loader memo is mtime-keyed), and the superseded entry's strong
+    # refs would otherwise pin its persist()ed candidate pipeline in
+    # executor storage for the session's lifetime. FIFO-evicting past 8
+    # entries drops our refs; Spark's ContextCleaner then reclaims the
+    # unreferenced persisted blocks.
+    while len(memo) >= 8:
+        del memo[next(iter(memo))]
     # hold the docs ref so its id() stays unique for the memo's lifetime
     memo[id(docs)] = (docs, cand)
     return cand

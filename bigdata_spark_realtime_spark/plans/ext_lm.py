@@ -150,6 +150,11 @@ def train_lm(spark: SparkSession, sf_dir: str):
     uni: dict[str, int] = {}
     for (w1, _), c in big.items():
         uni[w1] = uni.get(w1, 0) + c
+    # bound the cache: regenerated tables mint new (path, sig) keys and
+    # the superseded LMs would otherwise accumulate for the process
+    # lifetime (each is vocab-bounded but the count is not)
+    while len(_LM_CACHE) >= 8:
+        del _LM_CACHE[next(iter(_LM_CACHE))]
     _LM_CACHE[key] = (big, uni, len(uni))
     return _LM_CACHE[key]
 

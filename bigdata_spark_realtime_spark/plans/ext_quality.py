@@ -291,7 +291,11 @@ def ext_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ascending so the cut is deterministic on both engines."""
     from bigdata_spark_realtime_spark.operators.shingling import shingle_rows
 
-    sh = shingle_rows(load_table(spark, sf_dir, "documents"), H.SHINGLE_W)
+    sh = shingle_rows(
+        load_table(spark, sf_dir, "documents"),
+        H.SHINGLE_W,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))

@@ -93,8 +93,24 @@ function bars(svg, today, yesterday) {
   }
 }
 function fillTable(el, rows, cols) {
-  el.innerHTML = "<tr>" + cols.map(c => `<th>${c}</th>`).join("") + "</tr>" +
-    rows.map(r => "<tr>" + cols.map(c => `<td>${r[c] ?? ""}</td>`).join("") + "</tr>").join("");
+  // DOM/textContent construction, never innerHTML with data values:
+  // served columns (e.g. sku_name) are verbatim table strings, so
+  // string-interpolated markup would execute as HTML (stored XSS)
+  el.replaceChildren();
+  const hr = document.createElement("tr");
+  for (const c of cols) {
+    const th = document.createElement("th");
+    th.textContent = c; hr.appendChild(th);
+  }
+  el.appendChild(hr);
+  for (const r of rows) {
+    const tr = document.createElement("tr");
+    for (const c of cols) {
+      const td = document.createElement("td");
+      td.textContent = r[c] ?? ""; tr.appendChild(td);
+    }
+    el.appendChild(tr);
+  }
 }
 async function refresh() {
   const td = $("td").value, item = $("item").value;

@@ -81,8 +81,24 @@ def build_copy(spark) -> None:
     )
     emb = load_table(spark, BASE, "embeddings")
     m = emb.count()
+
+    def replica_vec(r: int):
+        # rotate the vector r positions per replica: verbatim copies
+        # would produce identical SRP signatures, colliding every
+        # replica group in every band and timing a 45x synthetic
+        # candidate blow-up instead of 10x row scaling (the same
+        # pitfall the token suffixing above avoids for text)
+        if r == 0:
+            return F.col("embedding")
+        e = F.col("embedding")
+        return F.concat(F.slice(e, r + 1, 10_000), F.slice(e, 1, r))
+
     eparts = [
-        emb.select((F.col("vec_id") + r * m).alias("vec_id"), *emb.columns[1:])
+        emb.select(
+            (F.col("vec_id") + r * m).alias("vec_id"),
+            replica_vec(r).alias("embedding"),
+            *emb.columns[2:],
+        )
         for r in range(REPS)
     ]
     eout = eparts[0]
