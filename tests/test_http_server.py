@@ -153,3 +153,18 @@ def test_dashboard_page_served(server_url):
         assert "<script>" in html and "http" not in html.split("<head>")[1].split(
             "</head>"
         )[0].lower().replace("http-equiv", ""), "head must pull no external assets"
+
+
+def test_dashboard_never_interpolates_data_into_innerhtml():
+    """Regression pin for the fillTable XSS fix: served column values
+    (e.g. sku_name) must reach the DOM via textContent, never through
+    string-built innerHTML, or markup in table data would execute."""
+    import re
+
+    from bigdata_spark_realtime_spark.serving.dashboard import DASHBOARD_HTML
+
+    assert "replaceChildren" in DASHBOARD_HTML
+    assert "textContent" in DASHBOARD_HTML
+    # no template-literal interpolation into innerHTML anywhere
+    for m in re.finditer(r"innerHTML\s*=\s*(.+)", DASHBOARD_HTML):
+        assert "${" not in m.group(1), m.group(0)
