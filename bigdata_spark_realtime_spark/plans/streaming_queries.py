@@ -859,3 +859,62 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_buckets").cast("long").alias("hll_nonzero_regs"),
         "exact_distinct",
     )
+
+
+def _stream_cms_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_sketch import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@register("stream_cms_freq", oracle=_stream_cms_oracle())
+def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch as continuous intake: per micro-batch the
+    stream contributes token counts into the D×W cells via a
+    complete-mode sum — CMS cells merge by plain ADDITION, so the
+    drained cell table equals the batch sketch exactly and the probe
+    estimates hash-match the batch oracle. Streaming cell state is
+    D×W = 256 int64s forever (the sketch's whole point: frequency
+    tracking with O(1) state on an unbounded stream)."""
+    from bigdata_spark_realtime_spark.functions import hashing as H
+    from bigdata_spark_realtime_spark.plans.ext_sketch import (
+        CMS_D,
+        CMS_PROBES,
+        CMS_W,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    tok = _docs_stream(spark, sf_dir).select(
+        F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    rows = None
+    for d in range(CMS_D):
+        bucket = H.h32(F.concat(F.lit(f"cms{d}|"), F.col("token"))) % CMS_W
+        part = tok.select(F.lit(d).alias("d"), bucket.alias("w"))
+        rows = part if rows is None else rows.unionByName(part)
+    cells_stream = rows.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+    cms = _drain_to_memory(cells_stream, spark, output_mode="complete")
+
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    probe_cells = None
+    for d in range(CMS_D):
+        bucket = H.h32(F.concat(F.lit(f"cms{d}|"), F.col("token"))) % CMS_W
+        part = probes.select("token", F.lit(d).alias("d"), bucket.alias("w"))
+        probe_cells = (
+            part if probe_cells is None else probe_cells.unionByName(part)
+        )
+    est = (
+        probe_cells.join(F.broadcast(cms), ["d", "w"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_count"))
+    )
+    tokc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex = probes.join(tokc, "token", "left").select(
+        "token", F.coalesce("cnt", F.lit(0)).alias("exact_count")
+    )
+    return ex.join(est, "token").select("token", "est_count", "exact_count")

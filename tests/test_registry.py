@@ -53,7 +53,7 @@ EXPECTED_PER_MODULE = {
     "ext_bm25": 1,
     "ext_hybrid": 1,
     "ext_sketch": 2,
-    "streaming_queries": 12,
+    "streaming_queries": 13,
 }
 
 #: The exact first-50 registration window the round-6 external
