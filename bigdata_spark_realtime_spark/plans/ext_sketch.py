@@ -243,7 +243,14 @@ def ext_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("c").alias("est_count"))
     )
-    ex = probes.join(tokc, "token", "left").select(
+    # filter the vocabulary-sized counts down to the probe set BEFORE
+    # joining: the IN-literal predicate pushes through the aggregation
+    # to the scan, and the ≤|probes|-row result broadcasts — a plain
+    # probes-LEFT-JOIN-tokc would SortMergeJoin the whole vocabulary
+    probe_counts = tokc.where(F.col("token").isin(list(CMS_PROBES)))
+    ex = probes.join(F.broadcast(probe_counts), "token", "left").select(
         "token", F.coalesce("cnt", F.lit(0)).alias("exact_count")
     )
-    return ex.join(est, "token").select("token", "est_count", "exact_count")
+    return ex.join(F.broadcast(est), "token").select(
+        "token", "est_count", "exact_count"
+    )

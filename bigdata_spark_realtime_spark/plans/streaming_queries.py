@@ -914,7 +914,12 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ex = probes.join(tokc, "token", "left").select(
+    # probe-filter before joining (see ext_sketch.ext_cms_freq: the
+    # vocabulary-sized side must not SortMergeJoin a 10-row probe set)
+    probe_counts = tokc.where(F.col("token").isin(list(CMS_PROBES)))
+    ex = probes.join(F.broadcast(probe_counts), "token", "left").select(
         "token", F.coalesce("cnt", F.lit(0)).alias("exact_count")
     )
-    return ex.join(est, "token").select("token", "est_count", "exact_count")
+    return ex.join(F.broadcast(est), "token").select(
+        "token", "est_count", "exact_count"
+    )

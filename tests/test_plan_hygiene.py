@@ -340,3 +340,12 @@ def test_bm25_broadcasts_query_terms(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_bm25_search")
     assert "BroadcastHashJoin" in plan, "query terms must broadcast"
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_cms_probe_joins_broadcast(spark, sf_dir):
+    """The CMS probe path: the 256-cell sketch table and probe-filtered
+    exact counts broadcast; nothing vocabulary-sized ever SortMergeJoins
+    the 10-row probe set."""
+    plan = _plan(spark, sf_dir, "ext_cms_freq")
+    assert "SortMergeJoin" not in plan, "a vocabulary-sized side is shuffling"
+    assert "BroadcastHashJoin" in plan
