@@ -168,3 +168,15 @@ def test_missing_module_fails_loudly(monkeypatch):
     )
     with pytest.raises(ModuleNotFoundError):
         registry.load_all()
+
+
+def test_bench_headline_names_are_all_registered():
+    """bench.py silently drops HEADLINE names missing from the registry
+    (`[n for n in HEADLINE if n in specs]`), so a renamed query would
+    shrink the benchmark and flatter the total without any error."""
+    import bench
+
+    specs = registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
