@@ -51,46 +51,19 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r6 window (exactly 50 queries): the 49 rows r5 left unverified —
-    # scalar_fns first to clear f1_f2_dt_hr_derive's standing r4 FAIL —
-    # plus the newly gated real-quantizer IVF query (ext_ivf).
-    "bigdata_spark_realtime_spark.plans.scalar_fns",
-    "bigdata_spark_realtime_spark.plans.serving",
-    "bigdata_spark_realtime_spark.plans.joins",
-    "bigdata_spark_realtime_spark.plans.ext_text",
-    "bigdata_spark_realtime_spark.plans.ext_multimodal",
-    "bigdata_spark_realtime_spark.plans.ext_asof",
-    "bigdata_spark_realtime_spark.plans.ext_packing",
-    "bigdata_spark_realtime_spark.plans.dedup",
-    "bigdata_spark_realtime_spark.plans.aggregations",
-    "bigdata_spark_realtime_spark.plans.sort_limit",
-    "bigdata_spark_realtime_spark.plans.windows",
-    "bigdata_spark_realtime_spark.plans.analytic",
-    "bigdata_spark_realtime_spark.plans.sessionize",
-    "bigdata_spark_realtime_spark.plans.olap_extras",
-    "bigdata_spark_realtime_spark.plans.ext_ivf",
-    # r5-verified (CORRECTNESS_r05.json: 50/50 green)
-    "bigdata_spark_realtime_spark.plans.tpch",
-    "bigdata_spark_realtime_spark.plans.ext_dedup",
-    "bigdata_spark_realtime_spark.plans.transforms",
-    "bigdata_spark_realtime_spark.plans.ext_sampling",
-    "bigdata_spark_realtime_spark.plans.streaming_queries",
-    "bigdata_spark_realtime_spark.plans.ext_srp",
-    "bigdata_spark_realtime_spark.plans.ext_similarity",
-    "bigdata_spark_realtime_spark.plans.ext_decontam",
-    # new in round 6, registered AFTER the pinned window (51+): covered
-    # by BOTH local mirrors now (all-queries at sf0.001 AND the
-    # out-of-window tail at the driver's sf0.01 —
-    # tests/test_queries_oracle_driver_sf.py). ROUND-7 PLAN: rotate the
-    # 20 never-driver-verified queries below (ext_quality×4, ext_semantic,
-    # ext_mixture×2, ext_pii, ext_lm, ext_substring, ext_tfidf, ext_order,
-    # ext_chunk, ext_profile×2, ext_curation3, ext_bm25,
-    # stream_decontaminate, stream_dedup_minhash, stream_lm_bucket) into
-    # the first-50 window, then fill the remaining slots with the
-    # oldest-verified rows (r5's tpch block); update the
-    # tests/test_registry.py window pin in the same commit. (The list
-    # below grew to 21 with ext_hybrid — still fits one 50-slot window
-    # with 29 slots to spare.)
+    # r8 window (exactly 50 queries): the 27 queries that had NO driver
+    # row after r5/r6/r7 (r7 was a no-op round — its window duplicated
+    # r6's). Leads with the round-6 tail modules (ext_quality×4,
+    # ext_semantic, ext_mixture×2, ext_pii, ext_lm, ext_substring,
+    # ext_tfidf, ext_order, ext_chunk, ext_profile×2, ext_curation3,
+    # ext_bm25, ext_hybrid, ext_sketch×2), then ext_media_tail (whose
+    # import of ext_multimodal re-registers the 3 r7-green base
+    # multimodal queries ahead of the 2 never-verified frames/resize),
+    # then streaming_queries (13: the 5 never-verified stream twins plus
+    # 8 r5-green rows). Import side effects counted in the window:
+    # ext_semantic imports ext_ivf (+1, r7-green). Remaining 11 slots
+    # fill with the head of r5's tpch block — the oldest driver rows.
+    # r5 ∪ r6 ∪ r8 = every oracle-bearing query driver-verified.
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -106,6 +79,34 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_sketch",
     "bigdata_spark_realtime_spark.plans.ext_media_tail",
+    "bigdata_spark_realtime_spark.plans.streaming_queries",
+    "bigdata_spark_realtime_spark.plans.tpch",
+    # below here every query is OUTSIDE the 50-slot gate window
+    # (tpch's tail spills past slot 50; these modules follow). All were
+    # driver-verified in r5/r6/r7 and stay covered by both local oracle
+    # mirrors (tests/test_queries_oracle.py at sf0.001,
+    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
+    "bigdata_spark_realtime_spark.plans.scalar_fns",
+    "bigdata_spark_realtime_spark.plans.serving",
+    "bigdata_spark_realtime_spark.plans.joins",
+    "bigdata_spark_realtime_spark.plans.ext_text",
+    "bigdata_spark_realtime_spark.plans.ext_multimodal",
+    "bigdata_spark_realtime_spark.plans.ext_asof",
+    "bigdata_spark_realtime_spark.plans.ext_packing",
+    "bigdata_spark_realtime_spark.plans.dedup",
+    "bigdata_spark_realtime_spark.plans.aggregations",
+    "bigdata_spark_realtime_spark.plans.sort_limit",
+    "bigdata_spark_realtime_spark.plans.windows",
+    "bigdata_spark_realtime_spark.plans.analytic",
+    "bigdata_spark_realtime_spark.plans.sessionize",
+    "bigdata_spark_realtime_spark.plans.olap_extras",
+    "bigdata_spark_realtime_spark.plans.ext_ivf",
+    "bigdata_spark_realtime_spark.plans.ext_dedup",
+    "bigdata_spark_realtime_spark.plans.transforms",
+    "bigdata_spark_realtime_spark.plans.ext_sampling",
+    "bigdata_spark_realtime_spark.plans.ext_srp",
+    "bigdata_spark_realtime_spark.plans.ext_similarity",
+    "bigdata_spark_realtime_spark.plans.ext_decontam",
 )
 
 

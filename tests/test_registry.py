@@ -56,51 +56,67 @@ EXPECTED_PER_MODULE = {
     "streaming_queries": 13,
 }
 
-#: The exact first-50 registration window the round-6 external
-#: correctness gate sees: the 49 queries round 5 left unverified
-#: (CORRECTNESS_r05.json covered the other 50) plus the newly gated
-#: ext_ann_ivf_topk. r5 ∪ r6 = every registered query driver-verified.
+#: The exact first-50 registration window the round-8 external
+#: correctness gate sees: all 27 queries that had no driver row after
+#: r5/r6/r7 (r7 duplicated r6's window — a no-op round), plus 23
+#: already-green fillers dragged in by module import order.
+#: r5 ∪ r6 ∪ r8 = every registered query driver-verified.
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R6_WINDOW = [
-    # scalar_fns (leads to clear f1_f2_dt_hr_derive's standing r4 FAIL)
-    "f1_f2_dt_hr_derive", "f3_datetime_split", "f4_age_derive",
-    "f5_f6_key_naming", "f7_yesterday", "f10_match_and", "f11_highlight",
-    # serving (imports joins first, so j* register here)
-    "j1_dim_join_user", "j2_dim_join_geo", "j4_order_wide_join",
-    "j6_semi_join_routing", "j7_exists_semi_join", "j8_anti_join",
-    "serving_dau_realtime", "serving_stats_by_item_age",
-    "serving_stats_by_item_gender", "serving_detail_by_item",
-    # ext_text
-    "ext_text_token_stats", "ext_text_lang_id", "ext_text_quality_score",
-    "ext_text_fingerprint",
-    # ext_multimodal
+R8_WINDOW = [
+    # ext_quality (its imports drag in ext_decontam + ext_sampling +
+    # curation helpers first)
+    "ext_text_repetition", "ext_decontaminate", "ext_sample_stratified",
+    "ext_curation_pipeline", "ext_sample_source_cap", "ext_curation_full",
+    "ext_text_boilerplate_ngrams", "ext_quality_classifier",
+    # ext_semantic (imports ext_ivf first)
+    "ext_ann_ivf_topk", "ext_dedup_semantic",
+    # ext_mixture / ext_pii / ext_lm / ext_substring / ext_tfidf
+    "ext_mixture_weights", "ext_mixture_resample", "ext_pii_redact",
+    "ext_lm_score", "ext_dedup_substring", "ext_text_tfidf",
+    # ext_order / ext_chunk / ext_profile
+    "ext_train_order", "ext_chunk_windows", "ext_corpus_profile",
+    "ext_source_overlap",
+    # ext_curation3 / ext_bm25 / ext_hybrid / ext_sketch
+    "ext_curation_scored", "ext_bm25_search", "ext_hybrid_search",
+    "ext_hll_distinct", "ext_cms_freq",
+    # ext_media_tail (imports ext_multimodal: base 3 register first,
+    # then the shim registers the never-verified frames/resize)
     "ext_multimodal_meta", "ext_multimodal_decode", "ext_multimodal_features",
-    # ext_asof / ext_packing / dedup
-    "ext_asof_join", "ext_pack_shards",
-    "d1_first_seen_dedup", "d3_last_write_wins",
-    # aggregations
-    "a1_count_total", "a2_hourly_counts_topk", "a3_day_over_day",
-    "a4_stats_by_item_top100", "a5_age_rebucket", "a6_gender_relabel",
-    # sort_limit / windows
-    "l1_pagination_page2", "l2_page_with_total", "l4_field_fetch_cap",
-    "w6_tumbling_window_agg",
-    # analytic
-    "analytic_order_sequence", "cube_status_priority", "exact_percentiles",
-    "set_ops_customer_cohorts", "bucketed_colocated_join",
-    "w7_sliding_window_agg",
-    # sessionize / olap_extras
-    "sessionize_events", "pivot_event_counts", "session_window_agg",
-    "rollup_region_nation", "approx_aggregates",
-    # the round's new oracle-gated operator
-    "ext_ann_ivf_topk",
+    "ext_multimodal_frames", "ext_multimodal_resize",
+    # streaming_queries (its imports drag in ext_dedup mid-module)
+    "stream_windowed_counts", "stream_dedup_dau_keys",
+    "stream_order_wide_join", "stream_base_log_split",
+    "stream_sessionize_gap", "stream_order_outer_orphans",
+    "stream_cdc_routing", "stream_stratified_sample", "stream_decontaminate",
+    "ext_dedup_exact", "ext_dedup_minhash_lsh", "ext_dedup_resolve",
+    "ext_dedup_ngram_jaccard", "ext_dedup_simhash", "ext_dedup_embedding",
+    "ext_dedup_simhash_pairs",
+    "stream_dedup_minhash", "stream_lm_bucket", "stream_hll_distinct",
+    "stream_cms_freq",
 ]
 
+#: the 27 rows this window exists to verify (never driver-checked in
+#: r5/r6/r7) — asserted as a subset so a future splice can't silently
+#: evict one while keeping the list length at 50
+R8_TARGETS = {
+    "ext_text_repetition", "ext_text_boilerplate_ngrams",
+    "ext_quality_classifier", "ext_curation_full", "ext_dedup_semantic",
+    "ext_mixture_weights", "ext_mixture_resample", "ext_pii_redact",
+    "ext_lm_score", "ext_dedup_substring", "ext_text_tfidf",
+    "ext_train_order", "ext_chunk_windows", "ext_corpus_profile",
+    "ext_source_overlap", "ext_curation_scored", "ext_bm25_search",
+    "ext_hybrid_search", "ext_hll_distinct", "ext_cms_freq",
+    "ext_multimodal_frames", "ext_multimodal_resize",
+    "stream_decontaminate", "stream_dedup_minhash", "stream_lm_bucket",
+    "stream_hll_distinct", "stream_cms_freq",
+}
 
-def test_r6_gate_window_is_pinned():
+
+def test_r8_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r6 window, in order.
+    must be exactly the planned r8 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -111,7 +127,9 @@ def test_r6_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R6_WINDOW) == 50
+    assert len(R8_WINDOW) == 50
+    assert len(R8_TARGETS) == 27
+    assert R8_TARGETS <= set(R8_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -125,7 +143,7 @@ def test_r6_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R6_WINDOW
+    assert got == R8_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -168,6 +186,33 @@ def test_missing_module_fails_loudly(monkeypatch):
     )
     with pytest.raises(ModuleNotFoundError):
         registry.load_all()
+
+
+def test_never_driver_verified_queries_are_inside_gate_window():
+    """Freshness mirror (round-7 judge task #7): every registered query
+    that has NO driver-verified row in any CORRECTNESS_r*.json must sit
+    inside the CURRENT first-50 gate window, so the next driver run
+    retires it. Round 7 silently skipped the planned rotation and the
+    only flag was the judge; this makes that failure mode a local red.
+
+    "Verified" = hash-green row, or a rows-only row for the declared
+    ``oracle=None`` queries. FAIL rows do not count as verified."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                verified.add(name)
+    assert verified, "no CORRECTNESS_r*.json artifacts found"
+    never = set(registry.load_all()) - verified
+    stragglers = never - set(R8_WINDOW)
+    assert not stragglers, (
+        f"queries with no driver row are OUTSIDE the gate window — "
+        f"rotate them in: {sorted(stragglers)}"
+    )
 
 
 def test_bench_headline_names_are_all_registered():
