@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import json
 
-from bench import HEADLINE, build_payload
+from bench import HEADLINE, aggregate_passes, build_payload
 
 
 def test_clean_run_reports_sum():
@@ -21,6 +21,44 @@ def test_failed_query_nulls_value():
     assert p["partial_sum_sec"] == 1.0
     # and the payload stays one parseable JSON object
     assert json.loads(json.dumps(p))["value"] is None
+
+
+def test_min_of_passes_is_contention_robust():
+    # pass 2 ran under a load spike (every query 6x slower) — the
+    # reported timing must be the uncontended pass, per query
+    t, errors, flaky = aggregate_passes(
+        ["a", "b"],
+        [{"a": 1.0, "b": 2.0}, {"a": 6.0, "b": 12.0}],
+        {},
+        {},
+        2,
+    )
+    assert t == {"a": 1.0, "b": 2.0}
+    assert not errors and not flaky
+
+
+def test_flaky_query_keeps_surviving_timing_and_total():
+    # fails pass 1, succeeds pass 2: previously this nulled the whole
+    # total; now it reports the good timing and flags the query flaky
+    t, errors, flaky = aggregate_passes(
+        ["a", "b"],
+        [{"a": 1.0}, {"a": 1.1, "b": 3.0}],
+        {"b": 1},
+        {"b": "Boom()"},
+        2,
+    )
+    assert t == {"a": 1.0, "b": 3.0}
+    assert not errors
+    assert flaky == {"b": "Boom()"}
+    assert build_payload(t, errors, "/root/testdata/sf0.1")["value"] == 4.0
+
+
+def test_always_failing_query_nulls_value():
+    t, errors, flaky = aggregate_passes(
+        ["a", "b"], [{"a": 1.0}, {"a": 1.0}], {"b": 2}, {"b": "Boom()"}, 2
+    )
+    assert errors == {"b": "Boom()"} and not flaky
+    assert build_payload(t, errors, "/root/testdata/sf0.1")["value"] is None
 
 
 def test_headline_names_are_registered():
