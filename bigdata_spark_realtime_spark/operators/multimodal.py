@@ -276,6 +276,93 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(fn, FEATURES_SCHEMA)
 
 
+#: sign-projection seed — part of the featurizer definition; changing it
+#: changes every projection (and the fixture ground truth)
+PROJ_SEED = "bsrproj1"
+
+_SIGN_CACHE: dict[int, "object"] = {}
+
+
+def _sign_matrix(dim: int):
+    """Fixed-seed ±1 projection matrix over the 256 intensity bins,
+    derived bin-by-bin from md5 so it is bit-identical everywhere
+    (generator process, executors, any numpy version) — the same
+    integer-determinism rationale as the SRP planes
+    (functions/hashing.py): seeded float RNGs are library-versioned,
+    md5 is specified."""
+    import numpy as np
+
+    if dim not in _SIGN_CACHE:
+        signs = np.empty((dim, 256), dtype=np.int64)
+        for d in range(dim):
+            digest = hashlib.md5(f"{PROJ_SEED}|{d}".encode()).digest()
+            # 256 sign bits from 2 chained md5 blocks (16 bytes = 128 bits)
+            digest += hashlib.md5(digest).digest()
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+            signs[d] = bits.astype(np.int64) * 2 - 1
+        _SIGN_CACHE[dim] = signs
+    return _SIGN_CACHE[dim]
+
+
+def int_feature_projection(content: bytes, dim: int = FEATURE_DIM) -> list[int]:
+    """DECODED content bytes → ``dim`` int64 features: 256-bin intensity
+    histogram (a real, classic content descriptor — two encodings of the
+    same pixels/PCM featurize identically) projected through the fixed
+    ±1 sign matrix. All-integer, so the fixture generator (pre-encode
+    arrays) and the executors (decoded arrays) agree bit-for-bit and the
+    gate can hash-verify — no float accumulation order to diverge."""
+    import numpy as np
+
+    arr = np.frombuffer(content, dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256).astype(np.int64)
+    return (_sign_matrix(dim) @ hist).tolist()
+
+
+def proj_hash(proj: list[int]) -> str:
+    """Canonical digest of an integer feature vector (the gate's compare
+    column): md5 over the comma-joined decimal rendering."""
+    return hashlib.md5(",".join(map(str, proj)).encode()).hexdigest()
+
+
+PROJECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("proj_hash", T.StringType()),
+    ]
+)
+
+
+def extract_features_projected(
+    media: DataFrame, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """media → (media_id, dim, proj_hash): REAL decode (PNG pixels / WAV
+    PCM via operators/media_codec) feeding :func:`int_feature_projection`.
+    This is the verifiable-featurizer gate path — the fixture generator
+    computes the same projection from the PRE-encode arrays, so a decode
+    or featurizer bug is a hard hash mismatch. Non-media payloads
+    featurize raw bytes (documents-as-media adapter path)."""
+
+    def _one(payload: bytes) -> str:
+        if media_codec.is_png(payload):
+            payload = media_codec.png_decode(payload)[3]
+        elif media_codec.is_wav(payload):
+            payload = media_codec.wav_decode(payload)[4]
+        return proj_hash(int_feature_projection(payload, dim))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dim": pd.Series([dim] * len(pdf), dtype="int32"),
+                    "proj_hash": pdf["payload"].map(_one),
+                }
+            )
+
+    return media.mapInPandas(fn, PROJECTED_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat each document's utf-8 bytes as
     an opaque payload (the container has no real media fixtures)."""

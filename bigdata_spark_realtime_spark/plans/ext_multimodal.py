@@ -31,7 +31,7 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 #: versioned fixture root shared by the decode query and its oracle;
 #: generated idempotently at module import (registry load), so
 #: evaluation order can never hit a missing file
-MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v1")
+MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v2")
 
 
 def ensure_media_fixtures() -> str:
@@ -79,29 +79,32 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
-@register("ext_multimodal_features")
+FEATURES_ORACLE = f"""
+SELECT media_id, feat_dim AS dim, proj_hash
+FROM read_json('{MEDIA_BASE}/media_truth.jsonl', format='newline_delimited',
+  columns={{'media_id': 'BIGINT', 'feat_dim': 'INTEGER',
+            'proj_hash': 'VARCHAR'}})
+"""
+
+
+@register("ext_multimodal_features", oracle=FEATURES_ORACLE)
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary payload → fixed-dim float feature vector (stub encoder) →
-    the same blocked-cosine near-dup operator the embeddings path uses.
-    Rows-only in the gate (the encoder is a deterministic fake; the
-    byte-level fold isn't SQL-expressible) — vector properties and the
-    ANN-contract handoff are asserted in tests/test_multimodal.py."""
-    from pyspark.sql import functions as F
-
-    from bigdata_spark_realtime_spark.operators.multimodal import extract_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_media(docs))
-    return feats.select(
-        "media_id",
-        F.size("features").alias("dim"),
-        F.round(
-            F.aggregate(
-                "features", F.lit(0.0), lambda acc, x: acc + x * x
-            ),
-            2,
-        ).alias("sq_norm"),
+    """REAL featurizer gate: PNG/WAV payloads are decoded on executors
+    (operators/media_codec) and the DECODED pixels/PCM run through the
+    fixed-seed integer sign-projection featurizer
+    (operators/multimodal.int_feature_projection: 256-bin intensity
+    histogram × md5-derived ±1 matrix, all int64). The oracle is the
+    fixture generator's ground truth computed from the PRE-encode
+    arrays, so the gate hash-verifies decode + featurize end-to-end —
+    this replaces the round-6/7 rows-only byte-fold stub. The float
+    ANN-handoff variant (extract_features) remains for the similarity
+    operators and is pinned in tests/test_multimodal.py."""
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        extract_features_projected,
     )
+
+    media = spark.read.parquet(os.path.join(ensure_media_fixtures(), "media.parquet"))
+    return extract_features_projected(media)
 
 
 #: frame-sampling window for the documents-as-media replay (bytes)

@@ -254,6 +254,11 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
         png_encode,
         wav_encode,
     )
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        FEATURE_DIM,
+        int_feature_projection,
+        proj_hash,
+    )
 
     rng = random.Random(seed)
     os.makedirs(path, exist_ok=True)
@@ -277,6 +282,8 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                 "sample_rate": 0,
                 "n_frames": 0,
                 "content_md5": hashlib.md5(pixels).hexdigest(),
+                "feat_dim": FEATURE_DIM,
+                "proj_hash": proj_hash(int_feature_projection(pixels)),
             }
         )
 
@@ -302,6 +309,8 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                 "sample_rate": frame_rate,
                 "n_frames": n_frames,
                 "content_md5": hashlib.md5(frames).hexdigest(),
+                "feat_dim": FEATURE_DIM,
+                "proj_hash": proj_hash(int_feature_projection(frames)),
             }
         )
 

@@ -62,6 +62,57 @@ def test_resize_payload_bounded_and_deterministic(spark, sf_dir):
     assert {r.media_id: r.payload for r in out} == again
 
 
+def test_int_feature_projection_is_content_sensitive():
+    """The gate featurizer must be a function of DECODED content: same
+    pixels → same projection regardless of encoding; one changed byte →
+    a different projection (byte-fold stubs fail the first property on
+    re-encodes; constant fakes fail the second)."""
+    import numpy as np
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _sign_matrix,
+        int_feature_projection,
+        proj_hash,
+    )
+
+    signs = np.asarray(_sign_matrix(FEATURE_DIM))
+    assert signs.shape == (FEATURE_DIM, 256)
+    assert set(np.unique(signs)) == {-1, 1}
+
+    content = bytes(range(256)) * 4
+    p1 = int_feature_projection(content)
+    assert len(p1) == FEATURE_DIM and all(isinstance(x, int) for x in p1)
+    # histogram-based: a permutation of the same bytes projects equal
+    assert int_feature_projection(content[::-1]) == p1
+    # one substituted byte moves two histogram bins -> projection changes
+    mutated = b"\xff" + content[1:]
+    assert int_feature_projection(mutated) != p1
+    assert proj_hash(p1) != proj_hash(int_feature_projection(mutated))
+
+
+def test_projected_features_match_decoded_content(spark):
+    """Executor-side extract_features_projected over ENCODED fixtures
+    equals the projection of the PRE-encode arrays (the truth file) —
+    the decode+featurize round trip the gate oracle checks."""
+    import json
+    import os
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        extract_features_projected,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_multimodal import (
+        ensure_media_fixtures,
+    )
+
+    base = ensure_media_fixtures()
+    media = spark.read.parquet(os.path.join(base, "media.parquet"))
+    got = {r.media_id: r.proj_hash for r in extract_features_projected(media).collect()}
+    with open(os.path.join(base, "media_truth.jsonl")) as f:
+        truth = {r["media_id"]: r["proj_hash"] for r in map(json.loads, f)}
+    assert got == truth
+
+
 def test_extract_features_feeds_ann_contract(spark, sf_dir):
     import math
 
