@@ -19,11 +19,16 @@ engines derive identical rank tables.
 Scale (100 TB):
 - the lexical side reuses bm25_agg: query terms broadcast, only
   term-matching docs scored;
-- the semantic side here scans all embeddings per anchor (4 anchors ×
-  corpus — fine at test SF); at corpus scale the candidate generation
-  is the ANN machinery (ext_ann_ivf_topk / SRP buckets) feeding the
-  same rank table — RRF only ever consumes top-k lists, so swapping
-  the exact scan for ANN changes recall, not the fusion;
+- the semantic side IS the IVF machinery (operators/similarity.ivf_topk
+  over the same seeded quantizer as ext_ann_ivf_topk): anchors probe
+  their nearest cells and only those cells' vectors are scored — at
+  corpus scale set ``N_PROBE_HYBRID`` < n_cells and the candidate scan
+  is |corpus| × n_probe / n_cells. At test scale it probes ALL cells,
+  which makes the probe path exhaustive — bit-identical to the exact
+  brute-force ranking — so the DuckDB oracle stays the exact scan and
+  the driver hash still gates the full IVF path (centroids, assignment,
+  per-cell Arrow scoring, global rank). RRF only ever consumes top-k
+  lists, so narrowing n_probe changes recall, not the fusion;
 - fusion touches 2 × top-K rows per query: driver-free, broadcast-size.
 """
 
@@ -33,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdata_spark_realtime_spark.plans.corpus import cosine
 from bigdata_spark_realtime_spark.plans.ext_bm25 import BM25_AGG_SQL, bm25_agg
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
@@ -100,11 +104,37 @@ QUALIFY rnk <= {HYBRID_TOP_K}
 """
 
 
+#: semantic-leg probe width. At test scale probe EVERY cell: the IVF
+#: candidate set is then the whole corpus and the probe-path ranking is
+#: bit-identical to the exact scan the oracle runs. At 100 TB set this
+#: below ext_ivf.N_CELLS (e.g. 4) for the |corpus|·n_probe/n_cells scan.
+N_PROBE_HYBRID = 16
+
+#: anchors are corpus members and the current contract KEEPS the anchor
+#: doc in its own result list (cos 1.0, sem rank 1). ivf_topk's kernel
+#: excludes candidates whose vec_id equals the query_id, so anchor
+#: queries travel under vec_id + _QID_OFFSET (no corpus id collides)
+#: and are mapped back to their string query_id after the probe.
+_QID_OFFSET = 1 << 40
+
+
 @register("ext_hybrid_search", oracle=HYBRID_ORACLE)
 def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query by Reciprocal Rank Fusion of the BM25 lexical
-    top-20 and the anchor-embedding cosine top-20."""
+    top-20 and the anchor-embedding cosine top-20, the semantic leg
+    served by the real IVF probe path (exhaustive-probe at test scale;
+    see N_PROBE_HYBRID)."""
+    from bigdata_spark_realtime_spark.operators.similarity import (
+        assign_cells,
+        ivf_topk,
+        seeded_centroids,
+    )
     from bigdata_spark_realtime_spark.plans.ext_dedup import emb_double
+    from bigdata_spark_realtime_spark.plans.ext_ivf import (
+        N_CELLS,
+        OFFSET,
+        STRIDE,
+    )
 
     lex_w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25_score"), "doc_id"
@@ -120,22 +150,28 @@ def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = spark.createDataFrame(
         list(ANCHORS.items()), "query_id string, anchor_id long"
     )
-    a_vec = anchors.join(
-        emb.select(
-            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
-        ),
-        "anchor_id",
-    ).select("query_id", "a_emb")
+    # the same seeded coarse quantizer ext_ann_ivf_topk gates
+    cents = seeded_centroids(emb, N_CELLS, STRIDE, OFFSET)
+    assigned = assign_cells(emb, cents)
+    q_vecs = (
+        F.broadcast(anchors)
+        .join(emb, anchors["anchor_id"] == emb["vec_id"])
+        .select(
+            (F.col("anchor_id") + F.lit(_QID_OFFSET)).alias("query_id"),
+            "embedding",
+        )
+    )
+    topk = ivf_topk(
+        assigned, cents, q_vecs, k=CAND_K, n_probe=N_PROBE_HYBRID, digits=4
+    )
     sem_w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "doc_id")
     sem = (
-        emb.crossJoin(F.broadcast(a_vec))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("a_emb")), 4).alias(
-                "cos_sim"
-            ),
+        topk.select(
+            (F.col("query_id") - F.lit(_QID_OFFSET)).alias("anchor_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "cos_sim",
         )
+        .join(F.broadcast(anchors), "anchor_id")
         .withColumn("sem_rnk", F.row_number().over(sem_w))
         .where(F.col("sem_rnk") <= CAND_K)
         .select("query_id", "doc_id", "sem_rnk")
