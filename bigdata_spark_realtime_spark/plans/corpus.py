@@ -37,3 +37,24 @@ def emb_double(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+
+
+#: most-recently persisted intermediates, per owning query (round-7
+#: ADVICE: plan-builder persists were never released, so every
+#: re-invocation — bench passes, oracle mirrors — left a dead cache
+#: entry behind for the process lifetime)
+_SCOPED_PERSISTS: dict[str, list[DataFrame]] = {}
+
+
+def scoped_persist(df: DataFrame, scope: str, keep: int = 2) -> DataFrame:
+    """persist() for DataFrames returned inside a lazily-consumed plan:
+    the builder cannot unpersist after its own action (there is none
+    yet), so instead each invocation evicts the PREVIOUS invocation's
+    persisted frames for the same ``scope``. ``keep`` is the number of
+    frames one invocation registers (nothing live is ever evicted).
+    """
+    frames = _SCOPED_PERSISTS.setdefault(scope, [])
+    while len(frames) >= 2 * keep:
+        frames.pop(0).unpersist()
+    frames.append(df.persist())
+    return df

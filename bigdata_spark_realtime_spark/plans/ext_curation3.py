@@ -233,11 +233,21 @@ def ext_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK level spills rather than OOMs at scale and one
     # spill is cheaper than re-running the fused Python scorer per
     # consumer — the same call a production pipeline makes when it
-    # checkpoints the survivor set between stages
-    surv1 = _scored_survivors(spark, sf_dir).persist()
-    grams = window_hash_rows(
-        surv1, SPAN_W, min_parallelism=spark.sparkContext.defaultParallelism
-    ).persist()
+    # checkpoints the survivor set between stages. scoped_persist
+    # releases the PREVIOUS invocation's entries (plan builders have no
+    # action to unpersist after; unbounded entries were round-7 ADVICE)
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    surv1 = scoped_persist(
+        _scored_survivors(spark, sf_dir), "ext_curation_scored", keep=2
+    )
+    grams = scoped_persist(
+        window_hash_rows(
+            surv1, SPAN_W, min_parallelism=spark.sparkContext.defaultParallelism
+        ),
+        "ext_curation_scored",
+        keep=2,
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -59,6 +59,16 @@ SCALE = 1_000_000
 HEAD_MAX = 36 * SCALE
 MIDDLE_MAX = 39 * SCALE
 
+#: hard cap on the number of distinct bigrams :func:`train_lm` will
+#: collect to the driver. The trained LM is a worker-shipped artifact
+#: (tokenizer-shaped), so it MUST be driver-sized — but at 100 TB a
+#: corpus's bigram vocabulary need not be, and the failure mode of an
+#: unguarded collect is a silent driver OOM. ~20M entries ≈ low-GB of
+#: python dict; beyond that the train fails LOUDLY (see guard below)
+#: pointing at the broadcast-join scoring form that never collects
+#: (plans/streaming_queries.stream_lm_bucket).
+LM_MAX_BIGRAMS = 20_000_000
+
 _BUCKET_CASE_SQL = (
     f"CASE WHEN lm_score < {HEAD_MAX} THEN 'head' "
     f"WHEN lm_score < {MIDDLE_MAX} THEN 'middle' ELSE 'tail' END"
@@ -128,8 +138,10 @@ def train_lm(spark: SparkSession, sf_dir: str):
 
     The collected LM is bounded by VOCABULARY, not corpus size — the
     CCNet deployment shape ships the trained model to every worker
-    exactly like a tokenizer artifact. (For an LM too large for one
-    worker, the broadcast-join form survives in the streaming twin,
+    exactly like a tokenizer artifact. A pre-collect count() enforces
+    :data:`LM_MAX_BIGRAMS` so an over-vocabulary corpus fails loudly
+    instead of OOMing the driver. (For an LM too large for one worker,
+    the broadcast-join form survives in the streaming twin,
     plans/streaming_queries.stream_lm_bucket.)"""
     import os
 
@@ -145,7 +157,27 @@ def train_lm(spark: SparkSession, sf_dir: str):
     # 100% of the corpus to keep the 10% train slice
     train_key = H.h32(F.concat(F.lit("lm|"), F.col("doc_id").cast("string"))) % 100
     train = _bigram_rows(docs.where(train_key < TRAIN_PCT))
-    counts = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).collect()
+    agg = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # size guard BEFORE the collect: count() on the persisted aggregate
+    # is cluster-side and cheap; collect() on an over-vocabulary LM is a
+    # driver OOM with no error message. persist() so the count and the
+    # collect share the one bigram shuffle.
+    agg = agg.persist()
+    try:
+        n_bigrams = agg.count()
+        if n_bigrams > LM_MAX_BIGRAMS:
+            raise RuntimeError(
+                f"train_lm: {n_bigrams} distinct bigrams exceeds "
+                f"LM_MAX_BIGRAMS={LM_MAX_BIGRAMS}; the trained LM is not "
+                "driver-sized at this corpus scale. Use the broadcast-join "
+                "scoring form instead (plans/streaming_queries."
+                "stream_lm_bucket scores against the counts DataFrame "
+                "without collecting it), or raise the cap if the driver "
+                "genuinely has the memory."
+            )
+        counts = agg.collect()
+    finally:
+        agg.unpersist()
     big = {(r["w1"], r["w2"]): r["c12"] for r in counts}
     uni: dict[str, int] = {}
     for (w1, _), c in big.items():

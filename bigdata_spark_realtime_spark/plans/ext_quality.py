@@ -339,8 +339,12 @@ _BI_SUM = (
 
 CLASSIFIER_ORACLE = f"""
 WITH t AS (
+  -- NULL-text docs are DROPPED (explicit policy, matching the kernel:
+  -- a quality classifier cannot score absent text; same rule as the
+  -- simhash family). Empty text scores as the single empty token on
+  -- both sides.
   SELECT doc_id, string_split(text, ' ') AS toks, {_W_LIST} AS w
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 s AS (
   SELECT doc_id,
@@ -385,6 +389,11 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ns, scores = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # dropped, matching the oracle's WHERE text IS NOT
+                    # NULL — previously scored as empty text while the
+                    # SQL side emitted a NULL row (round-7 ADVICE)
+                    continue
                 toks = _toks(text)
                 feats = toks + (_shingle_strs(toks, 2) if len(toks) >= 2 else [])
                 h = _h32_arr(feats) % CLF_BUCKETS

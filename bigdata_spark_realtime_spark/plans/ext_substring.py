@@ -97,8 +97,12 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (the dup-hash count and the per-doc join-back); the
     # cached frame is 2 int64s per window position — cheaper at any
     # scale than re-running the Arrow hash kernel per consumer (same
-    # policy as the SimHash fingerprint persist, plans/ext_dedup.py)
-    grams = _window_hashes(docs).persist()
+    # policy as the SimHash fingerprint persist, plans/ext_dedup.py).
+    # scoped_persist evicts the previous invocation's entry (round-7
+    # ADVICE: plan-builder persists were never released)
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    grams = scoped_persist(_window_hashes(docs), "ext_dedup_substring", keep=1)
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

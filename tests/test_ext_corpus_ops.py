@@ -43,6 +43,20 @@ def test_bigram_rows_order_and_count(spark):
     assert got == {(1, "a", "b"), (1, "b", "c"), (1, "c", "d"), (3, "p", "q")}
 
 
+def test_train_lm_size_guard_fails_loudly(spark, sf_dir, monkeypatch):
+    """An over-vocabulary corpus must raise (naming the broadcast-join
+    alternative), never reach the driver collect — the 100 TB failure
+    mode of an unguarded collect is a silent driver OOM."""
+    import pytest
+
+    from bigdata_spark_realtime_spark.plans import ext_lm
+
+    monkeypatch.setattr(ext_lm, "LM_MAX_BIGRAMS", 1)
+    monkeypatch.setattr(ext_lm, "_LM_CACHE", {})  # bypass the memo
+    with pytest.raises(RuntimeError, match="stream_lm_bucket"):
+        ext_lm.train_lm(spark, sf_dir)
+
+
 def test_lm_score_invariants(spark, sf_dir):
     """Scores are positive, buckets take only the three labels, and
     n_bigrams is tokens-1 for every scored doc."""
@@ -333,6 +347,27 @@ def test_classifier_score_matches_manual_dot_product(spark, tmp_path):
     assert got[1]["clf_label"] == ("keep" if expect >= 0 else "drop")
     # doc 2: single token -> 1 unigram feature, no bigrams
     assert got[2]["n_features"] == 1
+
+
+def test_classifier_drops_null_text(spark, tmp_path):
+    """Explicit NULL policy (round-7 ADVICE): a NULL-text doc is DROPPED
+    by both the kernel and the oracle — previously the kernel scored it
+    as empty text while the SQL emitted a NULL row."""
+    from bigdata_spark_realtime_spark.plans.ext_quality import (
+        ext_quality_classifier,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    rows = [(1, "alpha beta", "en", "s1"), (2, None, "en", "s1"), (3, "", "en", "s1")]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        got = {r["doc_id"]: r for r in ext_quality_classifier(spark, d).collect()}
+    finally:
+        clear_table_cache()
+    assert set(got) == {1, 3}  # NULL dropped; empty text scores as [""]
+    assert got[3]["n_features"] == 1
 
 
 # ---------------------------------------------------------------------------
