@@ -73,6 +73,7 @@ HEADLINE: tuple[str, ...] = (
     "ext_train_order",          # seeded hash permutation, shard-local sorts
     "ext_curation_scored",      # fused classifier+LM kernel -> span hygiene -> dedup
     "ext_bm25_search",          # broadcast query terms, int64 BM25, rank window
+    "ext_dsir_select",          # fixed-size hashed-ngram importance model + map-side scoring
 )
 
 

@@ -107,6 +107,11 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
+    # new in round 8, registered AFTER the pinned window (splice rule):
+    # listed in tests/test_registry.PENDING_FIRST_DRIVER_ROW until a
+    # future rotation gives it a driver row; covered by both local
+    # oracle mirrors meanwhile
+    "bigdata_spark_realtime_spark.plans.ext_dsir",
 )
 
 

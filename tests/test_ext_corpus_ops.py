@@ -371,6 +371,56 @@ def test_classifier_drops_null_text(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_documents(spark, tmp_path):
+    """Planted scenario: the md5 target slice is seeded with a marker
+    vocabulary; out-of-slice docs written in that vocabulary must
+    outweigh docs written in a disjoint vocabulary (the defining DSIR
+    property: p_target/p_raw importance, not raw frequency)."""
+    import hashlib
+
+    from bigdata_spark_realtime_spark.plans import ext_dsir
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    def in_slice(doc_id: int) -> bool:
+        h = int(hashlib.md5(f"dsir|{doc_id}".encode()).hexdigest()[:8], 16)
+        return h % 100 < ext_dsir.TARGET_PCT
+
+    slice_ids = [i for i in range(400) if in_slice(i)]
+    other_ids = [i for i in range(400) if not in_slice(i)][: len(slice_ids) + 2]
+    target_text = "alpha beta gamma delta alpha beta"
+    offtarget_text = "zulu yankee xray whiskey zulu yankee"
+    rows = [(i, target_text, "en", "s1") for i in slice_ids]
+    # equal numbers of target-like and off-target docs OUTSIDE the slice
+    probe_like, probe_off = other_ids[0], other_ids[1]
+    rows += [(probe_like, target_text, "en", "s1")]
+    rows += [(probe_off, offtarget_text, "en", "s1")]
+    rows += [(i, offtarget_text, "en", "s1") for i in other_ids[2:]]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    ext_dsir._DSIR_CACHE.clear()
+    try:
+        got = {
+            r["doc_id"]: r for r in ext_dsir.ext_dsir_select(spark, d).collect()
+        }
+    finally:
+        clear_table_cache()
+        ext_dsir._DSIR_CACHE.clear()
+    assert got[probe_like]["dsir_weight"] > got[probe_off]["dsir_weight"]
+    assert got[probe_like]["dsir_keep"] == "keep"
+    assert got[probe_off]["dsir_keep"] == "drop"
+    # the model is fixed-size by construction — DSIR's scale guarantee
+    ratio = ext_dsir.train_dsir(spark, d)
+    assert len(ratio) == ext_dsir.DSIR_BUCKETS
+    clear_table_cache()
+    ext_dsir._DSIR_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
 # scored curation pipeline
 # ---------------------------------------------------------------------------
 
