@@ -198,13 +198,14 @@ def train_dsir(spark: SparkSession, sf_dir: str):
     return ratio
 
 
-@register("ext_dsir_select", oracle=DSIR_ORACLE)
-def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weight + keep/drop per document: hashed
-    unigram+bigram buckets, integer p_target/p_raw ratio table trained
-    on the deterministic 10% hash-slice, scored in ONE map-side Arrow
-    kernel (ratio table broadcast; zero corpus exchanges)."""
-    import numpy as np
+#: output schema of the scoring kernel (shared with the stream twin)
+SCORE_SCHEMA = "doc_id long, n_feats long, dsir_weight long"
+
+
+def make_score_kernel(ratio_bc):
+    """mapInPandas generator scoring (doc_id, text) batches against the
+    broadcast ratio table — STATELESS, so it runs unchanged on a batch
+    or a streaming frame (the stream_dsir_select twin)."""
     import pandas as pd
 
     from bigdata_spark_realtime_spark.operators.shingling import (
@@ -213,12 +214,8 @@ def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _toks,
     )
 
-    ratio = train_dsir(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    bc = spark.sparkContext.broadcast(ratio)
-
     def score(batches):
-        b_ratio = bc.value
+        b_ratio = ratio_bc.value
         for pdf in batches:
             ids, ns, ws = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -240,17 +237,12 @@ def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+    return score
 
-    # two consumers (the 1-row mean agg and the final select); the
-    # persisted frame is 3 ints per doc — negligible at any scale
-    scored = scoped_persist(
-        docs.select("doc_id", "text").mapInPandas(
-            score, "doc_id long, n_feats long, dsir_weight long"
-        ),
-        "ext_dsir_select",
-        keep=1,
-    )
+
+def keep_by_corpus_mean(scored: DataFrame) -> DataFrame:
+    """(doc_id, n_feats, dsir_weight) → + ``dsir_keep`` by the integer
+    corpus-mean rule: 1-row agg, broadcast back (scale-free)."""
     mean_w = scored.agg(
         F.expr("CAST(sum(dsir_weight) DIV count(*) AS BIGINT)").alias("mean_w")
     )
@@ -260,3 +252,26 @@ def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(mean_w)).select(
         "doc_id", "n_feats", "dsir_weight", keep.alias("dsir_keep")
     )
+
+
+@register("ext_dsir_select", oracle=DSIR_ORACLE)
+def ext_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight + keep/drop per document: hashed
+    unigram+bigram buckets, integer p_target/p_raw ratio table trained
+    on the deterministic 10% hash-slice, scored in ONE map-side Arrow
+    kernel (ratio table broadcast; zero corpus exchanges)."""
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    ratio = train_dsir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bc = spark.sparkContext.broadcast(ratio)
+    # two consumers (the 1-row mean agg and the final select); the
+    # persisted frame is 3 ints per doc — negligible at any scale
+    scored = scoped_persist(
+        docs.select("doc_id", "text").mapInPandas(
+            make_score_kernel(bc), SCORE_SCHEMA
+        ),
+        "ext_dsir_select",
+        keep=1,
+    )
+    return keep_by_corpus_mean(scored)

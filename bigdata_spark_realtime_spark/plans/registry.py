@@ -112,6 +112,8 @@ _PLAN_MODULES = (
     # future rotation gives it a driver row; covered by both local
     # oracle mirrors meanwhile
     "bigdata_spark_realtime_spark.plans.ext_dsir",
+    "bigdata_spark_realtime_spark.plans.ext_bpe",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail",
 )
 
 

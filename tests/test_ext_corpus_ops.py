@@ -546,3 +546,34 @@ def test_cms_never_undercounts(spark, sf_dir):
     assert {r["token"] for r in rows} == set(CMS_PROBES)
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
+
+
+# ---------------------------------------------------------------------------
+# BPE merge census
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merges_counts_planted_pairs(spark, tmp_path):
+    """Planted scenario: the dominant adjacent pair (including in-doc
+    repetitions — the BPE property boilerplate doc-freq would miss)
+    must rank first with its exact occurrence count."""
+    from bigdata_spark_realtime_spark.plans.ext_bpe import ext_bpe_merges
+    from bigdata_spark_realtime_spark.sources.tables import clear_table_cache
+
+    rows = [
+        (1, "a b a b a b", "en", "s1"),   # (a,b) x3, (b,a) x2
+        (2, "a b c", "en", "s1"),         # (a,b), (b,c)
+        (3, None, "en", "s1"),            # dropped
+    ]
+    d = str(tmp_path)
+    _write_docs(spark, rows, d)
+    clear_table_cache()
+    try:
+        got = ext_bpe_merges(spark, d).collect()
+    finally:
+        clear_table_cache()
+    first = got[0]
+    assert (first["w1"], first["w2"], first["pair_count"], first["rnk"]) == (
+        "a", "b", 4, 1,
+    )
+    assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))

@@ -349,3 +349,27 @@ def test_cms_probe_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_cms_freq")
     assert "SortMergeJoin" not in plan, "a vocabulary-sized side is shuffling"
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_scoring_corpus_side_never_shuffles(spark, sf_dir):
+    """DSIR scoring is one Arrow kernel with the fixed-size ratio table
+    broadcast: the corpus rows must see ZERO shuffle exchanges. The only
+    permitted exchanges are the 1-row mean aggregation (SinglePartition
+    over the per-doc stats) and the broadcast of that 1-row frame back
+    onto the keep decision."""
+    plan = _plan(spark, sf_dir, "ext_dsir_select")
+    assert "MapInPandas" in plan, "scoring must be the Arrow kernel"
+    assert "SortMergeJoin" not in plan, "mean must broadcast, never shuffle-join"
+    assert "BroadcastNestedLoopJoin" in plan, "1-row mean frame must broadcast"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_bpe_merges_topk_is_take_ordered(spark, sf_dir):
+    """The merge census's top-K must compile to TakeOrderedAndProject
+    (per-partition top-K, K-row merge) — a global sort over the pair
+    vocabulary is the classic 100 TB scale-killer here."""
+    plan = _plan(spark, sf_dir, "ext_bpe_merges")
+    assert "TakeOrderedAndProject" in plan, "top-K must not be a global sort"
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+    assert "MapInPandas" in plan, "pairs must come from the Arrow kernel"

@@ -54,6 +54,8 @@ EXPECTED_PER_MODULE = {
     "ext_hybrid": 1,
     "ext_sketch": 2,
     "ext_dsir": 1,
+    "ext_bpe": 1,
+    "ext_stream_tail": 1,
     "streaming_queries": 13,
 }
 
@@ -61,7 +63,11 @@ EXPECTED_PER_MODULE = {
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; the NEXT rotation must move them into
 #: the window and empty this set.
-PENDING_FIRST_DRIVER_ROW = {"ext_dsir_select"}
+PENDING_FIRST_DRIVER_ROW = {
+    "ext_dsir_select",
+    "stream_dsir_select",
+    "ext_bpe_merges",
+}
 
 #: The exact first-50 registration window the round-8 external
 #: correctness gate sees: all 27 queries that had no driver row after
