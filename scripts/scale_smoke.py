@@ -37,6 +37,8 @@ SMOKE_QUERIES = (
     "ext_lm_score",
     "ext_train_order",
     "ext_curation_scored",
+    "ext_dsir_select",
+    "ext_bpe_merges",
 )
 
 
