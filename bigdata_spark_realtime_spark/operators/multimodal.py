@@ -186,6 +186,34 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+#: target dims of the oracle-gated resize query (ext_multimodal_resize)
+GATE_RESIZE = 8
+
+
+def resample_nn(pixels: bytes, w0: int, h0: int, ch: int, width: int, height: int) -> bytes:
+    """Nearest-neighbor index-grid resample of raw pixel bytes — shared
+    by the executor-side resize and the fixture generator's ground
+    truth (so the resize gate can hash-verify the round trip)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, ch)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    return arr[ys][:, xs].tobytes()
+
+
+def hash_thumb(payload: bytes, n_out: int) -> bytes:
+    """Deterministic md5-chain thumbnail for non-image payloads (the
+    documents-as-media / audio path) — shared with the fixture
+    generator's ground truth."""
+    out = bytearray()
+    block = payload[:64] or b"\x00"
+    while len(out) < n_out:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n_out])
+
+
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: PNG payloads are REALLY resized — decode → nearest-
     neighbor resample (numpy index grid) → re-encode PNG. Non-media
@@ -197,24 +225,15 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
     n_out = width * height
 
     def _resize_png(payload: bytes) -> bytes:
-        import numpy as np
-
         w0, h0, ch, pixels = media_codec.png_decode(payload)
-        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h0, w0, ch)
-        ys = (np.arange(height) * h0) // height
-        xs = (np.arange(width) * w0) // width
-        out = arr[ys][:, xs]
-        return media_codec.png_encode(out.tobytes(), width, height, ch)
+        return media_codec.png_encode(
+            resample_nn(pixels, w0, h0, ch, width, height), width, height, ch
+        )
 
     def _thumb(payload: bytes) -> bytes:
         if media_codec.is_png(payload):
             return _resize_png(payload)
-        out = bytearray()
-        block = payload[:64] or b"\x00"
-        while len(out) < n_out:
-            block = hashlib.md5(block).digest()
-            out.extend(block)
-        return bytes(out[:n_out])
+        return hash_thumb(payload, n_out)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

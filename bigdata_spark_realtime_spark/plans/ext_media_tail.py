@@ -18,4 +18,8 @@ from bigdata_spark_realtime_spark.plans.registry import register
 register("ext_multimodal_frames", oracle=mm.FRAMES_ORACLE)(
     mm.ext_multimodal_frames
 )
-register("ext_multimodal_resize")(mm.ext_multimodal_resize)
+# oracle-gated since round 8: the gate hashes the DECODED resized
+# pixels against the generator's resample of the pre-encode arrays
+register("ext_multimodal_resize", oracle=mm.RESIZE_ORACLE)(
+    mm.ext_multimodal_resize
+)

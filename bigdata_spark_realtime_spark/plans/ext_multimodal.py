@@ -31,7 +31,7 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 #: versioned fixture root shared by the decode query and its oracle;
 #: generated idempotently at module import (registry load), so
 #: evaluation order can never hit a missing file
-MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v2")
+MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v3")
 
 
 def ensure_media_fixtures() -> str:
@@ -142,20 +142,61 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(docs), every_n_bytes=FRAME_BYTES)
 
 
-def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize over the REAL media fixtures: PNG payloads are
-    decoded, nearest-neighbor resampled to 8×8 and re-encoded on
-    executors (operators/media_codec — no image libraries); WAV/other
-    payloads take the deterministic hash-thumbnail path. Rows-only in
-    the gate (a re-encoded PNG's zlib bytes aren't SQL-derivable);
-    pixel-exact resampling is pinned against numpy ground truth in
-    tests/test_media_codec.py::test_resize_media_really_resamples."""
-    from pyspark.sql import functions as F
+def _resize_oracle() -> str:
+    from bigdata_spark_realtime_spark.operators.multimodal import GATE_RESIZE
 
-    from bigdata_spark_realtime_spark.operators.multimodal import resize_media
+    return f"""
+SELECT media_id, {GATE_RESIZE} AS width, {GATE_RESIZE} AS height, resized_md5
+FROM read_json('{MEDIA_BASE}/media_truth.jsonl', format='newline_delimited',
+  columns={{'media_id': 'BIGINT', 'resized_md5': 'VARCHAR'}})
+"""
+
+
+RESIZE_ORACLE = _resize_oracle()
+
+
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the REAL media fixtures, oracle-gated on the
+    full round trip: PNG payloads are decoded, nearest-neighbor
+    resampled to 8×8 and re-encoded on executors (operators/media_codec
+    — no image libraries); the gate then DECODES the re-encoded output
+    and hashes the resized pixels, which must equal the generator's
+    resample of the PRE-encode pixels (PNG is lossless) — proving
+    decode → resample → encode → decode end-to-end. WAV/other payloads
+    take the deterministic hash-thumbnail path (payload md5, same
+    ground-truth rule). This replaces the rows-only gate (the
+    re-encoded zlib container bytes themselves remain non-SQL-derivable
+    — hashing the decoded pixels sidesteps that while checking
+    strictly more of the pipeline)."""
+    import hashlib
+
+    import pandas as pd
+
+    from bigdata_spark_realtime_spark.operators import media_codec
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        GATE_RESIZE,
+        resize_media,
+    )
 
     media = spark.read.parquet(os.path.join(ensure_media_fixtures(), "media.parquet"))
-    out = resize_media(media, width=8, height=8)
-    return out.select(
-        "media_id", "width", "height", F.md5("payload").alias("payload_md5")
+    out = resize_media(media, width=GATE_RESIZE, height=GATE_RESIZE)
+
+    def verify(batches):
+        for pdf in batches:
+            def _md5(payload: bytes) -> str:
+                if media_codec.is_png(payload):
+                    payload = media_codec.png_decode(payload)[3]
+                return hashlib.md5(payload).hexdigest()
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_md5": pdf["payload"].map(_md5),
+                }
+            )
+
+    return out.mapInPandas(
+        verify, "media_id long, width int, height int, resized_md5 string"
     )

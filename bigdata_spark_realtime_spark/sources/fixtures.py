@@ -256,8 +256,11 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
     )
     from bigdata_spark_realtime_spark.operators.multimodal import (
         FEATURE_DIM,
+        GATE_RESIZE,
+        hash_thumb,
         int_feature_projection,
         proj_hash,
+        resample_nn,
     )
 
     rng = random.Random(seed)
@@ -284,6 +287,15 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                 "content_md5": hashlib.md5(pixels).hexdigest(),
                 "feat_dim": FEATURE_DIM,
                 "proj_hash": proj_hash(int_feature_projection(pixels)),
+                # ground truth for the oracle-gated resize round trip:
+                # the same nearest-neighbor index grid over the
+                # PRE-encode pixels (PNG is lossless, so decode ->
+                # resample -> re-encode -> decode reproduces it exactly)
+                "resized_md5": hashlib.md5(
+                    resample_nn(
+                        pixels, width, height, channels, GATE_RESIZE, GATE_RESIZE
+                    )
+                ).hexdigest(),
             }
         )
 
@@ -311,6 +323,11 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                 "content_md5": hashlib.md5(frames).hexdigest(),
                 "feat_dim": FEATURE_DIM,
                 "proj_hash": proj_hash(int_feature_projection(frames)),
+                # audio takes the deterministic hash-thumbnail path,
+                # keyed on the ENCODED payload bytes
+                "resized_md5": hashlib.md5(
+                    hash_thumb(payloads[-1], GATE_RESIZE * GATE_RESIZE)
+                ).hexdigest(),
             }
         )
 
