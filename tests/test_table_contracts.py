@@ -274,3 +274,24 @@ def test_table_cache_misses_on_inplace_regeneration(tmp_path, spark):
 
     # and an unchanged file still hits the memo (same plan object back)
     assert load_table(spark, str(tmp_path), "region") is df2
+
+
+def test_scoped_persist_bounds_cache_entries(spark):
+    """Plan-builder persists must not accumulate for the process
+    lifetime (round-7 ADVICE): re-invocations evict the previous
+    generation's entries, never the current one's."""
+    from bigdata_spark_realtime_spark.plans import corpus
+
+    scope = "test_scope_xyz"
+    corpus._SCOPED_PERSISTS.pop(scope, None)
+    frames = [spark.range(i + 1) for i in range(6)]
+    for df in frames:
+        corpus.scoped_persist(df, scope, keep=1)
+    live = corpus._SCOPED_PERSISTS[scope]
+    assert len(live) <= 2  # bounded at 2*keep
+    assert live[-1] is frames[-1]  # newest always retained
+    assert frames[0].storageLevel.useMemory is False  # oldest released
+    assert frames[-1].storageLevel.useMemory is True
+    for df in live:
+        df.unpersist()
+    corpus._SCOPED_PERSISTS.pop(scope, None)
