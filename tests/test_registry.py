@@ -56,6 +56,7 @@ EXPECTED_PER_MODULE = {
     "ext_dsir": 1,
     "ext_bpe": 1,
     "ext_stream_tail": 1,
+    "ext_embed": 3,
     "streaming_queries": 13,
 }
 
@@ -67,6 +68,9 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_dsir_select",
     "stream_dsir_select",
     "ext_bpe_merges",
+    "ext_embed_quantize_int8",
+    "ext_embed_centroids",
+    "ext_centroid_similarity",
 }
 
 #: The exact first-50 registration window the round-8 external
