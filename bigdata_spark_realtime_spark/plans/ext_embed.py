@@ -170,6 +170,115 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroids(spark, sf_dir)
 
 
+ASSIGN_ORACLE = f"""
+WITH dims2 AS (
+  SELECT vec_id, label, u.i AS dim,
+         CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE)
+                    * {float(FIXED_POINT)}) AS BIGINT) AS vq
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+  WHERE embedding IS NOT NULL
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(vq) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS centroid_q
+  FROM dims2 GROUP BY label, dim
+),
+dist AS (
+  SELECT d.vec_id, c.label AS cand,
+         CAST(sum((d.vq - c.centroid_q) * (d.vq - c.centroid_q))
+              AS BIGINT) AS dist_q
+  FROM dims2 d JOIN cent c ON d.dim = c.dim
+  GROUP BY d.vec_id, c.label
+),
+assign AS (
+  SELECT vec_id, cand AS label_to
+  FROM dist
+  QUALIFY row_number()
+      OVER (PARTITION BY vec_id ORDER BY dist_q, cand) = 1
+)
+SELECT e.label AS label_from, a.label_to,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings e JOIN assign a USING (vec_id)
+WHERE e.embedding IS NOT NULL
+GROUP BY e.label, a.label_to
+"""
+
+
+@register("ext_kmeans_assign", oracle=ASSIGN_ORACLE)
+def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step closing the
+    loop that `ext_embed_centroids` opened) reported as a
+    label-vs-assigned confusion matrix — the cluster-drift /
+    label-noise audit a curation pipeline runs on refreshed
+    embeddings.
+
+    Scale (100 TB): the centroid table is collected once — L x 64
+    int64 cells, dimension-bounded at ANY corpus size by construction
+    (same model-artifact pattern as the DSIR ratio table and LM
+    counts) — and re-enters the plan as a literal, so the per-vector
+    argmin is pure whole-stage codegen with ZERO corpus exchanges:
+    ``array_min`` over an L-element array of (dist_q, label) structs
+    (lexicographic struct ordering == tie-break on smallest label).
+    The only shuffle in the scoring pass is the final L^2-key
+    confusion groupBy, collapsed map-side. An Arrow-kernel argmin
+    (numpy over the broadcast centroid matrix) is the drop-in for
+    L in the thousands; at dim 64 x L ~ 10 the codegen fold wins by
+    skipping Python entirely.
+
+    Exactness: distances are pure int64 in the same fixed point as
+    the centroids — no float compare can flip a near-tie."""
+    cent_rows = _centroids(spark, sf_dir).collect()
+    by_label: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_q"]
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("label"),
+                F.array(
+                    *[
+                        F.lit(int(dims[d])).cast("bigint")
+                        for d in sorted(dims)
+                    ]
+                ).alias("cq"),
+            )
+            for label, dims in sorted(by_label.items())
+        ]
+    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    vq = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(float(FIXED_POINT))).cast(
+            "bigint"
+        ),
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vq"), c["cq"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist_q"),
+            c["label"].alias("label"),
+        ),
+    )
+    return (
+        emb.select("label", vq.alias("vq"))
+        .select("label", F.array_min(dists).alias("best"))
+        .groupBy(
+            F.col("label").alias("label_from"),
+            F.col("best.label").alias("label_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 SIMILARITY_ORACLE = (
     _CENTROID_CTE
     + """

@@ -115,6 +115,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_bpe",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail",
     "bigdata_spark_realtime_spark.plans.ext_embed",
+    "bigdata_spark_realtime_spark.plans.ext_vocab",
 )
 
 

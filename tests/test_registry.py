@@ -56,7 +56,8 @@ EXPECTED_PER_MODULE = {
     "ext_dsir": 1,
     "ext_bpe": 1,
     "ext_stream_tail": 1,
-    "ext_embed": 3,
+    "ext_embed": 4,
+    "ext_vocab": 1,
     "streaming_queries": 13,
 }
 
@@ -71,6 +72,8 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_embed_quantize_int8",
     "ext_embed_centroids",
     "ext_centroid_similarity",
+    "ext_kmeans_assign",
+    "ext_vocab_topk_lang",
 }
 
 #: The exact first-50 registration window the round-8 external
