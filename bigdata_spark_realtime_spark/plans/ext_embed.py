@@ -84,18 +84,22 @@ FROM dims d JOIN scales s USING (dim)
 """
 
 
-@register("ext_embed_quantize_int8", oracle=QUANTIZE_ORACLE)
-def ext_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-dim max-abs int8 quantization, exploded to
-    (vec_id, dim, q) rows for the exact cross-engine check (production
-    re-packs with collect_list into the array column map-side).
+def fit_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, s) — per-dimension max-abs scale table: the quantizer's
+    model artifact (64 rows at any corpus size; map-side partial max
+    ahead of the one 64-key exchange)."""
+    return (
+        _dims(spark, sf_dir)
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("v"))).alias("s"))
+    )
 
-    Plan: 64-group max aggregate (map-side partials) -> broadcast back
-    onto the component stream -> pure-codegen quantize. The all-zero
-    dimension guard (s = 0 -> q = 0) avoids an engine-dependent
-    0/0 NaN."""
-    dims = _dims(spark, sf_dir)
-    scales = dims.groupBy("dim").agg(F.max(F.abs(F.col("v"))).alias("s"))
+
+def quantize_components(dims: DataFrame, scales: DataFrame) -> DataFrame:
+    """Apply the fitted scale table to a (vec_id, dim, v) component
+    frame (batch or streaming) — broadcast join + pure-codegen
+    quantize. The all-zero dimension guard (s = 0 -> q = 0) avoids an
+    engine-dependent 0/0 NaN."""
     return dims.join(F.broadcast(scales), "dim").select(
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
@@ -108,6 +112,16 @@ def ext_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("q"),
+    )
+
+
+@register("ext_embed_quantize_int8", oracle=QUANTIZE_ORACLE)
+def ext_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dim max-abs int8 quantization, exploded to
+    (vec_id, dim, q) rows for the exact cross-engine check (production
+    re-packs with collect_list into the array column map-side)."""
+    return quantize_components(
+        _dims(spark, sf_dir), fit_scales(spark, sf_dir)
     )
 
 

@@ -53,3 +53,42 @@ def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(make_score_kernel(bc), SCORE_SCHEMA)
     )
     return keep_by_corpus_mean(_drain_to_memory(scored, spark))
+
+
+def _quantize_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_embed import QUANTIZE_ORACLE
+
+    return QUANTIZE_ORACLE
+
+
+@register("stream_embed_quantize", oracle=_quantize_oracle())
+def stream_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization as continuous intake — the production shape
+    for an embedding feed landing in an ANN/KV store: the per-dim
+    scale table is FIXED (fitted batch-side on the standing corpus —
+    64 rows at any scale, plans/ext_embed.fit_scales) and enters each
+    micro-batch as a broadcast stream-static join; vectors STREAM
+    through the identical pure-codegen quantize with zero streaming
+    state (per-row op, append mode). In production the scales refresh
+    batch-side like any model artifact; re-fitting on every batch
+    would let the quantization of old vectors drift. Oracle = the
+    batch operator's SQL: the quantize is per-row and the scales come
+    from the same complete corpus, so streamed == batched exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.plans.ext_embed import (
+        fit_scales,
+        quantize_components,
+    )
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+        _embeddings_stream,
+    )
+
+    scales = fit_scales(spark, sf_dir)
+    dims = (
+        _embeddings_stream(spark, sf_dir)
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+    )
+    return _drain_to_memory(quantize_components(dims, scales), spark)

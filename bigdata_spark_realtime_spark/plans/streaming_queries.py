@@ -653,6 +653,24 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embeddings table as a file-source stream (same
+    symlinked-dir device as :func:`_docs_stream`)."""
+    import hashlib
+
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bsr_emb_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
 def _stream_decontam_oracle() -> str:
     from bigdata_spark_realtime_spark.plans.ext_decontam import DECONTAM_ORACLE
 
