@@ -92,3 +92,60 @@ def stream_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
     )
     return _drain_to_memory(quantize_components(dims, scales), spark)
+
+
+def _centroids_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_embed import (
+        CENTROIDS_ORACLE,
+    )
+
+    return CENTROIDS_ORACLE
+
+
+@register("stream_embed_centroids", oracle=_centroids_oracle())
+def stream_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label centroids maintained as STATEFUL streaming aggregation —
+    the continuously-refreshed class-prototype store (the statistic
+    `ext_kmeans_assign` and a production quantizer refresh consume).
+    Where the HLL/CMS twins stream mergeable *sketch* state, this
+    streams mergeable *numeric* state: per-(label, dim) running
+    ``(sum(vq), count)`` in Spark's state store, updated per
+    micro-batch in complete mode. Integer sums are associative and
+    accumulation-order-independent, so ANY micro-batch arrival order
+    produces bit-identical state — the drained result hash-matches
+    the batch operator's oracle exactly. State is L x 64 rows
+    (dimension-bounded), never corpus-sized; the truncating-DIV mean
+    is taken on the drained frame, outside the incremental state."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.plans.ext_embed import FIXED_POINT
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+        _embeddings_stream,
+    )
+
+    vq = (
+        _embeddings_stream(spark, sf_dir)
+        .where(F.col("embedding").isNotNull())
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .select(
+            "label",
+            "dim",
+            F.floor(
+                F.col("v").cast("double") * F.lit(float(FIXED_POINT))
+            )
+            .cast("bigint")
+            .alias("vq"),
+        )
+    )
+    state = vq.groupBy("label", "dim").agg(
+        F.sum("vq").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    drained = _drain_to_memory(state, spark, output_mode="complete")
+    return drained.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.expr("sum_q DIV n_vectors").alias("centroid_q"),
+        "n_vectors",
+    )

@@ -39,6 +39,10 @@ SMOKE_QUERIES = (
     "ext_curation_scored",
     "ext_dsir_select",
     "ext_bpe_merges",
+    "ext_embed_quantize_int8",
+    "ext_embed_centroids",
+    "ext_kmeans_assign",
+    "ext_vocab_topk_lang",
 )
 
 

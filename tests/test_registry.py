@@ -55,7 +55,7 @@ EXPECTED_PER_MODULE = {
     "ext_sketch": 2,
     "ext_dsir": 1,
     "ext_bpe": 1,
-    "ext_stream_tail": 2,
+    "ext_stream_tail": 3,
     "ext_embed": 4,
     "ext_vocab": 1,
     "streaming_queries": 13,
@@ -75,6 +75,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_kmeans_assign",
     "ext_vocab_topk_lang",
     "stream_embed_quantize",
+    "stream_embed_centroids",
 }
 
 #: The exact first-50 registration window the round-8 external
