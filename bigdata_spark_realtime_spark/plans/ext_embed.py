@@ -184,6 +184,33 @@ def ext_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroids(spark, sf_dir)
 
 
+#: per-process memo of collected centroid tables keyed by the
+#: embeddings table's storage fingerprint (the ext_dsir._DSIR_CACHE
+#: pattern); each entry is L x 64 ints — a model artifact, refreshed
+#: when the backing file changes
+_CENTROID_CACHE: dict[tuple, dict] = {}
+
+
+def _centroid_artifact(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, dict[int, int]]:
+    import os
+
+    from bigdata_spark_realtime_spark.sources.tables import _file_sig
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (os.path.abspath(path), _file_sig(path))
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    by_label: dict[int, dict[int, int]] = {}
+    for r in _centroids(spark, sf_dir).collect():
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_q"]
+    while len(_CENTROID_CACHE) >= 8:
+        del _CENTROID_CACHE[next(iter(_CENTROID_CACHE))]
+    _CENTROID_CACHE[key] = by_label
+    return by_label
+
+
 ASSIGN_ORACLE = f"""
 WITH dims2 AS (
   SELECT vec_id, label, u.i AS dim,
@@ -242,10 +269,7 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: distances are pure int64 in the same fixed point as
     the centroids — no float compare can flip a near-tie."""
-    cent_rows = _centroids(spark, sf_dir).collect()
-    by_label: dict[int, dict[int, int]] = {}
-    for r in cent_rows:
-        by_label.setdefault(r["label"], {})[r["dim"]] = r["centroid_q"]
+    by_label = _centroid_artifact(spark, sf_dir)
     cents = F.array(
         *[
             F.struct(

@@ -57,7 +57,7 @@ EXPECTED_PER_MODULE = {
     "ext_bpe": 1,
     "ext_stream_tail": 3,
     "ext_embed": 4,
-    "ext_vocab": 1,
+    "ext_vocab": 2,
     "streaming_queries": 13,
 }
 
@@ -76,6 +76,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_vocab_topk_lang",
     "stream_embed_quantize",
     "stream_embed_centroids",
+    "ext_vocab_coverage",
 }
 
 #: The exact first-50 registration window the round-8 external
