@@ -214,6 +214,80 @@ def hash_thumb(payload: bytes, n_out: int) -> bytes:
     return bytes(out[:n_out])
 
 
+#: perceptual-hash pooling grid (8x8 -> 64-bit fingerprint)
+PHASH_GRID = 8
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash64(pixels: bytes, w: int, h: int, ch: int) -> int:
+    """64-bit average-hash perceptual fingerprint over raw pixels —
+    pure integer arithmetic end to end, shared by the executor kernel
+    and the fixture generator's ground truth.
+
+    Grayscale via the integer ITU-R 601 luma (``(299 R + 587 G +
+    114 B) // 1000``; alpha ignored), adaptive 8x8 block pooling by
+    index ranges (no resample step, so any w, h >= 8 works), and the
+    mean threshold as an exact integer cross-multiply —
+    ``block_sum * n_total > total_sum * n_block`` — so no division
+    ever rounds. Bit (r*8 + c) set = block brighter than the global
+    mean. Returned wrapped to signed int64 for parquet/Arrow."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch == 1:
+        luma = arr[:, :, 0]
+    else:
+        luma = (
+            299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+        ) // 1000
+    g = PHASH_GRID
+    ys = [(r * h) // g for r in range(g + 1)]
+    xs = [(c * w) // g for c in range(g + 1)]
+    total_sum = int(luma.sum())
+    n_total = w * h
+    ph = 0
+    for r in range(g):
+        for c in range(g):
+            block = luma[ys[r] : ys[r + 1], xs[c] : xs[c + 1]]
+            if int(block.sum()) * n_total > total_sum * block.size:
+                ph |= 1 << (r * g + c)
+    if ph >= 1 << 63:
+        ph -= 1 << 64
+    return ph
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable PNG payload — decode +
+    fingerprint fused into one Arrow pass (the pixels never leave the
+    task). Callers filter to the image modality BEFORE this kernel so
+    the scan prunes audio rows (plan-hygiene rule: filters ahead of
+    mapInPandas)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"]
+                    .map(lambda p: phash64(*_decoded_pixels(p)))
+                    .astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def _decoded_pixels(payload: bytes) -> tuple[bytes, int, int, int]:
+    w, h, ch, pixels = media_codec.png_decode(payload)
+    return pixels, w, h, ch
+
+
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: PNG payloads are REALLY resized — decode → nearest-
     neighbor resample (numpy index grid) → re-encode PNG. Non-media

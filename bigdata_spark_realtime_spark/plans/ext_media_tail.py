@@ -23,3 +23,7 @@ register("ext_multimodal_frames", oracle=mm.FRAMES_ORACLE)(
 register("ext_multimodal_resize", oracle=mm.RESIZE_ORACLE)(
     mm.ext_multimodal_resize
 )
+# NOTE: round-8's ext_multimodal_phash_pairs registers from
+# plans/ext_media_tail2.py — THIS module now sits inside the pinned
+# round-8 window, so registering it here would splice into the window
+# and evict its tail (the hazard tests/test_registry.py pins against).

@@ -31,7 +31,7 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 #: versioned fixture root shared by the decode query and its oracle;
 #: generated idempotently at module import (registry load), so
 #: evaluation order can never hit a missing file
-MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v3")
+MEDIA_BASE = os.path.join(tempfile.gettempdir(), "bsr_media_fixtures_v4")
 
 
 def ensure_media_fixtures() -> str:
@@ -199,4 +199,61 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return out.mapInPandas(
         verify, "media_id long, width int, height int, resized_md5 string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup pairs — the image modality's member of the dedup family
+# ---------------------------------------------------------------------------
+
+PHASH_ORACLE = f"""
+WITH ph AS (
+  SELECT media_id, phash
+  FROM read_json('{MEDIA_BASE}/media_truth.jsonl',
+    format='newline_delimited',
+    columns={{'media_id': 'BIGINT', 'kind': 'VARCHAR', 'phash': 'BIGINT'}})
+  WHERE kind = 'image'
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def ext_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit perceptual hash — the
+    dedup family extended to the image modality with the REAL PNG
+    codec in the loop: executors decode payloads and fingerprint the
+    pixels in one fused Arrow pass (operators/multimodal.phash_media:
+    integer luma -> adaptive 8x8 block pooling -> exact cross-multiply
+    mean threshold; pixels never leave the task, one int64 out per
+    image), then the SimHash machinery runs UNCHANGED on the
+    fingerprints — 4x16-bit pigeonhole bands + exact hamming verify
+    (plans/ext_dedup.simhash_pairs_from). The oracle recomputes pairs
+    exhaustively from the fixture generator's pre-encode ground-truth
+    hashes: pigeonhole blocking is lossless at hamming <= 3, so
+    blocked and exhaustive answers must be identical. The fixtures
+    plant +1-on-two-bytes perturbed copies (sources/fixtures.gen_media
+    n_neardup) as organic positives.
+
+    Scale (100 TB): decode+fingerprint is map-side (the modality
+    filter sits ahead of the kernel, so audio rows prune at the scan);
+    everything after ships 2 int64s per image through the banded-join
+    shape proven by `ext_dedup_simhash_pairs`."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.operators.multimodal import phash_media
+    from bigdata_spark_realtime_spark.plans.ext_dedup import simhash_pairs_from
+
+    media = spark.read.parquet(
+        os.path.join(ensure_media_fixtures(), "media.parquet")
+    ).where(F.col("kind") == "image")
+    ph = phash_media(media).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_pairs_from(ph).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
     )

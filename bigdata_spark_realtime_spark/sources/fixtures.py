@@ -237,7 +237,13 @@ def gen_order_streams(
     return {"ttl_dropped_detail_ids": ttl_dropped, "n_details": detail_id}
 
 
-def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) -> None:
+def gen_media(
+    path: str,
+    n_images: int = 30,
+    n_audio: int = 30,
+    seed: int = 46,
+    n_neardup: int = 8,
+) -> None:
     """Deterministic multimodal fixtures: real PNG and WAV payloads in a
     parquet `media` table (media_id, kind, payload binary) plus a
     `media_truth.jsonl` ground truth computed from the PRE-encode raw
@@ -259,6 +265,7 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
         GATE_RESIZE,
         hash_thumb,
         int_feature_projection,
+        phash64,
         proj_hash,
         resample_nn,
     )
@@ -267,17 +274,13 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
     os.makedirs(path, exist_ok=True)
     ids, kinds, payloads, truth = [], [], [], []
 
-    for i in range(n_images):
-        width = rng.randint(8, 48)
-        height = rng.randint(8, 40)
-        channels = rng.choice([1, 3, 3, 4])  # grey / RGB (common) / RGBA
-        pixels = bytes(rng.randrange(256) for _ in range(width * height * channels))
-        ids.append(i)
+    def add_image(mid: int, pixels: bytes, width: int, height: int, channels: int):
+        ids.append(mid)
         kinds.append("image")
         payloads.append(png_encode(pixels, width, height, channels))
         truth.append(
             {
-                "media_id": i,
+                "media_id": mid,
                 "kind": "image",
                 "width": width,
                 "height": height,
@@ -296,8 +299,20 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                         pixels, width, height, channels, GATE_RESIZE, GATE_RESIZE
                     )
                 ).hexdigest(),
+                # perceptual fingerprint of the PRE-encode pixels —
+                # ground truth for the pHash near-dup pair query
+                "phash": phash64(pixels, width, height, channels),
             }
         )
+        return pixels, width, height, channels
+
+    originals = []
+    for i in range(n_images):
+        width = rng.randint(8, 48)
+        height = rng.randint(8, 40)
+        channels = rng.choice([1, 3, 3, 4])  # grey / RGB (common) / RGBA
+        pixels = bytes(rng.randrange(256) for _ in range(width * height * channels))
+        originals.append(add_image(i, pixels, width, height, channels))
 
     for j in range(n_audio):
         mid = n_images + j
@@ -328,8 +343,26 @@ def gen_media(path: str, n_images: int = 30, n_audio: int = 30, seed: int = 46) 
                 "resized_md5": hashlib.md5(
                     hash_thumb(payloads[-1], GATE_RESIZE * GATE_RESIZE)
                 ).hexdigest(),
+                "phash": None,
             }
         )
+
+    # near-duplicate image copies — the organic positives the pHash
+    # pair query and its oracle both must find. Half get a whisper
+    # perturbation (+1 on two bytes: block means barely move, hamming
+    # stays 0), half a stronger one (+3 on every 16th byte: enough to
+    # flip the handful of bits sitting near the mean threshold,
+    # exercising the 1..3-bit tolerance and the pigeonhole bands).
+    for k in range(min(n_neardup, n_images)):
+        pixels, width, height, channels = originals[k]
+        buf = bytearray(pixels)
+        if k % 2 == 0:
+            for pos in (len(buf) // 3, (2 * len(buf)) // 3):
+                buf[pos] = min(255, buf[pos] + 1)
+        else:
+            for pos in range(0, len(buf), 16):
+                buf[pos] = min(255, buf[pos] + 3)
+        add_image(n_images + n_audio + k, bytes(buf), width, height, channels)
 
     table = pa.table(
         {

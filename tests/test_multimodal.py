@@ -145,3 +145,42 @@ def test_extract_features_feeds_ann_contract(spark, sf_dir):
     pairs = neardup_pairs_blocked(feats, threshold=0.999)
     assert pairs.columns == ["vec_a", "vec_b", "cos_sim"]
     pairs.count()  # executes the applyInPandas path
+
+
+def test_phash64_properties():
+    """Pure-function contract: identical pixels -> hamming 0; an
+    inverted image flips (nearly) every bit; tiny perturbation moves
+    few bits. All integer arithmetic, so results are exact."""
+    import random
+
+    from bigdata_spark_realtime_spark.operators.multimodal import phash64
+
+    rng = random.Random(7)
+    w, h, ch = 24, 16, 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    ph = phash64(pixels, w, h, ch)
+    assert phash64(pixels, w, h, ch) == ph
+    inverted = bytes(255 - b for b in pixels)
+    ham_inv = bin((ph ^ phash64(inverted, w, h, ch)) & (2**64 - 1)).count("1")
+    assert ham_inv >= 48  # inversion flips the bright/dark structure
+    buf = bytearray(pixels)
+    buf[10] = min(255, buf[10] + 1)
+    ham_tiny = bin((ph ^ phash64(bytes(buf), w, h, ch)) & (2**64 - 1)).count("1")
+    assert ham_tiny <= 2
+
+
+def test_phash_pairs_find_planted_neardups(spark):
+    """The fixture generator plants n_neardup perturbed copies; the
+    banded pair query must find exactly the original<->copy pairs,
+    each within the hamming budget, with zero false positives among
+    the random originals (their hashes are ~32 bits apart)."""
+    from bigdata_spark_realtime_spark.plans.ext_multimodal import (
+        ext_multimodal_phash_pairs,
+    )
+
+    rows = ext_multimodal_phash_pairs(spark, "/root/testdata/sf0.001").collect()
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in rows}
+    # ids: originals 0..29, audio 30..59, replicas 60..67 (copy k of k)
+    want_pairs = {(k, 60 + k) for k in range(8)}
+    assert set(got) == want_pairs
+    assert all(h <= 3 for h in got.values())

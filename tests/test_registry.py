@@ -31,8 +31,9 @@ EXPECTED_PER_MODULE = {
     # frames/resize are DEFINED in ext_multimodal (so fn.__module__
     # counts them there) but REGISTERED by the ext_media_tail shim so
     # they land after the pinned round-6 gate window
-    "ext_multimodal": 5,
+    "ext_multimodal": 6,
     "ext_media_tail": 0,
+    "ext_media_tail2": 0,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -77,6 +78,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "stream_embed_quantize",
     "stream_embed_centroids",
     "ext_vocab_coverage",
+    "ext_multimodal_phash_pairs",
 }
 
 #: The exact first-50 registration window the round-8 external
