@@ -288,6 +288,51 @@ def _decoded_pixels(payload: bytes) -> tuple[bytes, int, int, int]:
     return pixels, w, h, ch
 
 
+def audiohash64(frames: bytes) -> int:
+    """64-bit energy-signature fingerprint over decoded 16-bit PCM —
+    the audio sibling of :func:`phash64`, in the same pure integer
+    arithmetic: adaptive 64-block partition of the sample stream,
+    per-block sum of |sample|, bit set where the block's mean energy
+    exceeds the global mean (exact cross-multiply threshold — no
+    division ever rounds). Robust to small amplitude perturbation the
+    same way phash64 is to pixel noise. Requires >= 64 samples."""
+    import numpy as np
+
+    samples = np.abs(
+        np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    )
+    n = len(samples)
+    total = int(samples.sum())
+    bounds = [(b * n) // 64 for b in range(65)]
+    ah = 0
+    for b in range(64):
+        block = samples[bounds[b] : bounds[b + 1]]
+        if int(block.sum()) * n > total * len(block):
+            ah |= 1 << b
+    if ah >= 1 << 63:
+        ah -= 1 << 64
+    return ah
+
+
+def audiohash_media(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable WAV payload — decode +
+    energy fingerprint in one Arrow pass. Callers filter to the audio
+    modality BEFORE this kernel (plan-hygiene rule)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"]
+                    .map(lambda p: audiohash64(media_codec.wav_decode(p)[4]))
+                    .astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, PHASH_SCHEMA)
+
+
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: PNG payloads are REALLY resized — decode → nearest-
     neighbor resample (numpy index grid) → re-encode PNG. Non-media

@@ -18,3 +18,8 @@ from bigdata_spark_realtime_spark.plans.registry import register
 register("ext_multimodal_phash_pairs", oracle=mm.PHASH_ORACLE)(
     mm.ext_multimodal_phash_pairs
 )
+
+# audio near-dup pairs by 64-bit PCM energy signature (same machinery)
+register("ext_multimodal_audiohash_pairs", oracle=mm.AUDIOHASH_ORACLE)(
+    mm.ext_multimodal_audiohash_pairs
+)

@@ -257,3 +257,54 @@ def ext_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+AUDIOHASH_ORACLE = f"""
+WITH ah AS (
+  SELECT media_id, ahash
+  FROM read_json('{MEDIA_BASE}/media_truth.jsonl',
+    format='newline_delimited',
+    columns={{'media_id': 'BIGINT', 'kind': 'VARCHAR', 'ahash': 'BIGINT'}})
+  WHERE kind = 'audio'
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM ah a JOIN ah b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+def ext_multimodal_audiohash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by 64-bit energy signature — the
+    PCM sibling of `ext_multimodal_phash_pairs`, completing the dedup
+    family across both real-codec modalities: executors decode WAV
+    payloads (operators/media_codec.wav_decode) and fingerprint the
+    sample stream in one fused Arrow pass
+    (operators/multimodal.audiohash64: |int16| block energies,
+    adaptive 64-block pooling, exact cross-multiply mean threshold),
+    then the SimHash band/verify machinery runs unchanged. Oracle =
+    exhaustive pairs over the generator's pre-encode ground truth
+    (pigeonhole lossless at hamming <= 3). The fixtures plant
+    amplitude-nudged copies (+1 LSB on every 64th sample) as organic
+    positives.
+
+    Scale (100 TB): identical shape to the image variant — modality
+    filter ahead of the kernel, 2 int64s per clip after it."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        audiohash_media,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_dedup import simhash_pairs_from
+
+    media = spark.read.parquet(
+        os.path.join(ensure_media_fixtures(), "media.parquet")
+    ).where(F.col("kind") == "audio")
+    ah = audiohash_media(media).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return simhash_pairs_from(ah).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

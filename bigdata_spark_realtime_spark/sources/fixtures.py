@@ -265,6 +265,7 @@ def gen_media(
         GATE_RESIZE,
         hash_thumb,
         int_feature_projection,
+        audiohash64,
         phash64,
         proj_hash,
         resample_nn,
@@ -302,6 +303,7 @@ def gen_media(
                 # perceptual fingerprint of the PRE-encode pixels —
                 # ground truth for the pHash near-dup pair query
                 "phash": phash64(pixels, width, height, channels),
+                "ahash": None,
             }
         )
         return pixels, width, height, channels
@@ -314,18 +316,10 @@ def gen_media(
         pixels = bytes(rng.randrange(256) for _ in range(width * height * channels))
         originals.append(add_image(i, pixels, width, height, channels))
 
-    for j in range(n_audio):
-        mid = n_images + j
-        n_channels = rng.choice([1, 2])
-        samp_width = 2
-        frame_rate = rng.choice([8000, 16000, 44100])
-        n_frames = rng.randint(200, 2000)
-        frames = bytes(
-            rng.randrange(256) for _ in range(n_frames * n_channels * samp_width)
-        )
+    def add_audio(mid: int, frames: bytes, n_channels: int, frame_rate: int, n_frames: int):
         ids.append(mid)
         kinds.append("audio")
-        payloads.append(wav_encode(frames, n_channels, samp_width, frame_rate))
+        payloads.append(wav_encode(frames, n_channels, 2, frame_rate))
         truth.append(
             {
                 "media_id": mid,
@@ -344,7 +338,24 @@ def gen_media(
                     hash_thumb(payloads[-1], GATE_RESIZE * GATE_RESIZE)
                 ).hexdigest(),
                 "phash": None,
+                # energy-signature ground truth for the audio near-dup
+                # pair query (PCM sibling of the image phash)
+                "ahash": audiohash64(frames),
             }
+        )
+        return frames, n_channels, frame_rate, n_frames
+
+    audio_originals = []
+    for j in range(n_audio):
+        mid = n_images + j
+        n_channels = rng.choice([1, 2])
+        frame_rate = rng.choice([8000, 16000, 44100])
+        n_frames = rng.randint(200, 2000)
+        frames = bytes(
+            rng.randrange(256) for _ in range(n_frames * n_channels * 2)
+        )
+        audio_originals.append(
+            add_audio(mid, frames, n_channels, frame_rate, n_frames)
         )
 
     # near-duplicate image copies — the organic positives the pHash
@@ -363,6 +374,20 @@ def gen_media(
             for pos in range(0, len(buf), 16):
                 buf[pos] = min(255, buf[pos] + 3)
         add_image(n_images + n_audio + k, bytes(buf), width, height, channels)
+
+    # near-duplicate audio copies: +1 (clamped) on every 64th sample's
+    # low byte — a sub-LSB-of-energy amplitude nudge, so each copy's
+    # 64-block energy signature lands within a few hamming bits of its
+    # original (the audio analog of the image perturbations above).
+    for k in range(min(n_neardup, n_audio)):
+        frames, n_channels, frame_rate, n_frames = audio_originals[k]
+        buf = bytearray(frames)
+        for pos in range(0, len(buf), 128):  # LE int16 -> even = low byte
+            buf[pos] = min(255, buf[pos] + 1)
+        add_audio(
+            n_images + n_audio + n_neardup + k,
+            bytes(buf), n_channels, frame_rate, n_frames,
+        )
 
     table = pa.table(
         {

@@ -184,3 +184,42 @@ def test_phash_pairs_find_planted_neardups(spark):
     want_pairs = {(k, 60 + k) for k in range(8)}
     assert set(got) == want_pairs
     assert all(h <= 3 for h in got.values())
+
+
+def test_audiohash64_properties():
+    """PCM fingerprint contract: deterministic; doubling amplitude
+    leaves the signature unchanged (scale-free threshold); a tiny
+    amplitude nudge moves few bits."""
+    import random
+
+    import numpy as np
+
+    from bigdata_spark_realtime_spark.operators.multimodal import audiohash64
+
+    rng = random.Random(11)
+    samples = np.array(
+        [rng.randint(-3000, 3000) for _ in range(1000)], dtype="<i2"
+    )
+    ah = audiohash64(samples.tobytes())
+    assert audiohash64(samples.tobytes()) == ah
+    doubled = (samples.astype(np.int32) * 2).clip(-32768, 32767).astype("<i2")
+    assert audiohash64(doubled.tobytes()) == ah  # energy RATIOS unchanged
+    nudged = samples.copy()
+    nudged[100] += 1
+    ham = bin((ah ^ audiohash64(nudged.tobytes())) & (2**64 - 1)).count("1")
+    assert ham <= 2
+
+
+def test_audiohash_pairs_find_planted_neardups(spark):
+    """ids: audio originals 30..59, audio replicas 68..75 (copy k of
+    30+k): exactly the planted pairs, all within the hamming budget."""
+    from bigdata_spark_realtime_spark.plans.ext_multimodal import (
+        ext_multimodal_audiohash_pairs,
+    )
+
+    rows = ext_multimodal_audiohash_pairs(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in rows}
+    assert set(got) == {(30 + k, 68 + k) for k in range(8)}
+    assert all(h <= 3 for h in got.values())

@@ -31,7 +31,7 @@ EXPECTED_PER_MODULE = {
     # frames/resize are DEFINED in ext_multimodal (so fn.__module__
     # counts them there) but REGISTERED by the ext_media_tail shim so
     # they land after the pinned round-6 gate window
-    "ext_multimodal": 6,
+    "ext_multimodal": 7,
     "ext_media_tail": 0,
     "ext_media_tail2": 0,
     "ext_asof": 1,
@@ -79,6 +79,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "stream_embed_centroids",
     "ext_vocab_coverage",
     "ext_multimodal_phash_pairs",
+    "ext_multimodal_audiohash_pairs",
 }
 
 #: The exact first-50 registration window the round-8 external
