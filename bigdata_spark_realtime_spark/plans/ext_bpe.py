@@ -88,3 +88,118 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_count",
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# merge application — the second half of the BPE training iteration
+# ---------------------------------------------------------------------------
+
+APPLY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, i
+  FROM toks, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+top1 AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2
+  ) ORDER BY c DESC, w1, w2 LIMIT 1
+),
+hits AS (
+  SELECT p.doc_id, p.i
+  FROM pairs p JOIN top1 ON p.w1 = top1.w1 AND p.w2 = top1.w2
+),
+runs AS (
+  SELECT doc_id,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+),
+merged AS (
+  SELECT doc_id, CAST(sum((cnt + 1) // 2) AS BIGINT) AS n_merges
+  FROM (SELECT doc_id, grp, count(*) AS cnt FROM runs
+        GROUP BY doc_id, grp)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(m.n_merges, 0) AS BIGINT) AS n_merges,
+       CAST(len(tk.t) - coalesce(m.n_merges, 0) AS BIGINT)
+         AS n_tokens_after
+FROM toks tk LEFT JOIN merged m USING (doc_id)
+"""
+
+
+@register("ext_bpe_apply_merge", oracle=APPLY_ORACLE)
+def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the BPE training iteration: apply the
+    census's top-1 merge to the corpus with standard leftmost
+    non-overlapping semantics, reporting per-doc token counts before /
+    after (the statistic the trainer's stopping rule and compression
+    telemetry consume; the rewritten stream itself is the same rows
+    with the merged symbol substituted).
+
+    Leftmost non-overlap matters only for self-pairs (w1 == w2): a run
+    of k adjacent occurrences yields ceil(k/2) merges — the oracle
+    counts runs via the gaps-and-islands window, the Spark side scans
+    positions with an ``aggregate`` struct fold carrying the last
+    merge position. For w1 != w2 adjacent occurrences can never
+    overlap and both forms reduce to a plain count.
+
+    Scale (100 TB): the merge pair is the census's top-1 row — a
+    1-row model artifact collected and re-entered as literals (the
+    centroid/DSIR pattern); the application pass is pure map-side
+    JVM array work (filter + fold over each doc's own tokens, no
+    exchange at all). At tokenizer-vocab scale the per-element
+    lambda swaps for the shared Arrow pair kernel; at 64-token docs
+    the codegen fold wins by skipping Python."""
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        token_pair_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    top = (
+        token_pair_rows(
+            docs, min_parallelism=spark.sparkContext.defaultParallelism
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+        .collect()[0]
+    )
+    w1, w2 = top["w1"], top["w2"]
+
+    t = F.split("text", " ")
+    n_tokens = F.size(t).cast("bigint")
+    positions = F.when(
+        F.size(t) < 2, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: (F.element_at(t, i + 1) == F.lit(w1))
+            & (F.element_at(t, i + 2) == F.lit(w2)),
+        )
+    )
+    zero = F.struct(
+        F.lit(-2).cast("int").alias("prev"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    )
+    n_merges = F.aggregate(
+        positions,
+        zero,
+        lambda acc, p: F.when(p == acc["prev"] + 1, acc).otherwise(
+            F.struct(p.alias("prev"), (acc["cnt"] + 1).alias("cnt"))
+        ),
+    )["cnt"]
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_merges.alias("n_merges"),
+        (n_tokens - n_merges).alias("n_tokens_after"),
+    )

@@ -577,3 +577,38 @@ def test_bpe_merges_counts_planted_pairs(spark, tmp_path):
         "a", "b", 4, 1,
     )
     assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_bpe_apply_merge_self_pair_runs(spark, tmp_path):
+    """Leftmost non-overlapping semantics for a SELF-pair merge
+    (w1 == w2), the only case where occurrences can overlap: a run of
+    k adjacent occurrences must yield ceil(k/2) merges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_bpe import (
+        ext_bpe_apply_merge,
+    )
+
+    texts = ["a a a", "a a a a", "b a a", "c"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # top pair is (a, a): 2 + 3 + 1 = 6 adjacent occurrences
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_merges"], r["n_tokens_after"])
+        for r in ext_bpe_apply_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (3, 1, 2),   # run k=2 -> 1 merge
+        1: (4, 2, 2),   # run k=3 -> 2 merges
+        2: (3, 1, 2),   # run k=1 -> 1 merge
+        3: (1, 0, 1),   # no pairs
+    }

@@ -55,7 +55,7 @@ EXPECTED_PER_MODULE = {
     "ext_hybrid": 1,
     "ext_sketch": 2,
     "ext_dsir": 1,
-    "ext_bpe": 1,
+    "ext_bpe": 2,
     "ext_stream_tail": 3,
     "ext_embed": 4,
     "ext_vocab": 2,
@@ -80,6 +80,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_vocab_coverage",
     "ext_multimodal_phash_pairs",
     "ext_multimodal_audiohash_pairs",
+    "ext_bpe_apply_merge",
 }
 
 #: The exact first-50 registration window the round-8 external
