@@ -179,3 +179,48 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
             w.getnframes(),
             w.readframes(w.getnframes()),
         )
+
+
+# ---------------------------------------------------------------------------
+# MJV: a minimal motion-frames container (video = sequence of PNG frames)
+# ---------------------------------------------------------------------------
+
+#: magic for the frame-sequence container: "MJV1" + u32 frame count +
+#: per frame (u32 length + PNG payload). The shape every real container
+#: (MP4/MKV) reduces to for a frame-sampling pipeline: indexed access
+#: to independently-decodable frames.
+MJV_MAGIC = b"MJV1"
+
+
+def is_mjv(payload: bytes) -> bool:
+    return payload[:4] == MJV_MAGIC
+
+
+def mjv_encode(frames: list[bytes]) -> bytes:
+    """Container-encode a list of (already PNG-encoded) frames."""
+    out = bytearray(MJV_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def mjv_decode(payload: bytes) -> list[bytes]:
+    """Parse the container back into its PNG frame payloads; truncated
+    or trailing bytes raise (corrupt shards must fail loudly)."""
+    if not is_mjv(payload):
+        raise ValueError("not an MJV container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, off = [], 8
+    for _ in range(n):
+        if off + 4 > len(payload):
+            raise ValueError("truncated MJV frame table")
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("truncated MJV frame payload")
+        frames.append(payload[off : off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError("trailing bytes after MJV frames")
+    return frames

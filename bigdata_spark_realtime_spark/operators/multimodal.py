@@ -333,6 +333,58 @@ def audiohash_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, PHASH_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Keyframe sampling over MJV video containers — the 1→N shape a
+    real decoder (ffmpeg keyframe extraction) plugs into, with the
+    real PNG codec doing the per-frame decode: parse the container,
+    take every k-th frame, decode it spec-level and emit dimensions +
+    an md5 over the DECODED pixels. Container parse + frame decode
+    fuse into one Arrow pass; pixels never leave the task, and the
+    output is bounded by n_frames / k rows per clip regardless of
+    payload size."""
+
+    def _frames(row):
+        media_id, payload = row
+        out = []
+        frames = media_codec.mjv_decode(payload)
+        for idx in range(0, len(frames), every_k):
+            w, h, _ch, pixels = media_codec.png_decode(frames[idx])
+            out.append((media_id, idx, w, h, hashlib.md5(pixels).hexdigest()))
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for t in zip(pdf["media_id"], pdf["payload"])
+                for r in _frames(t)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame_md5"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "int32",
+                    "width": "int32",
+                    "height": "int32",
+                }
+            )
+
+    return media.mapInPandas(fn, VIDEO_FRAME_SCHEMA)
+
+
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: PNG payloads are REALLY resized — decode → nearest-
     neighbor resample (numpy index grid) → re-encode PNG. Non-media

@@ -23,3 +23,8 @@ register("ext_multimodal_phash_pairs", oracle=mm.PHASH_ORACLE)(
 register("ext_multimodal_audiohash_pairs", oracle=mm.AUDIOHASH_ORACLE)(
     mm.ext_multimodal_audiohash_pairs
 )
+
+# video keyframe sampling over MJV containers (real per-frame PNG decode)
+register("ext_multimodal_video_frames", oracle=mm.VIDEO_FRAMES_ORACLE)(
+    mm.ext_multimodal_video_frames
+)

@@ -308,3 +308,46 @@ def ext_multimodal_audiohash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+#: keyframe stride for the video sampling gate
+VIDEO_EVERY_K = 2
+
+VIDEO_FRAMES_ORACLE = f"""
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       frame_md5
+FROM read_json('{MEDIA_BASE}/video_truth.jsonl',
+  format='newline_delimited',
+  columns={{'media_id': 'BIGINT', 'frame_idx': 'INTEGER',
+            'width': 'INTEGER', 'height': 'INTEGER',
+            'frame_md5': 'VARCHAR'}})
+WHERE frame_idx % {VIDEO_EVERY_K} = 0
+"""
+
+
+def ext_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe sampling with REAL codecs end to end: fixture
+    clips are MJV containers (operators/media_codec.mjv_encode — the
+    indexed frame-table shape every real container reduces to) holding
+    independently-decodable PNG frames; executors parse the container,
+    take every {k}-th frame and spec-level-decode it
+    (operators/multimodal.sample_video_frames, one fused Arrow pass).
+    The gate hashes the DECODED pixels of each sampled frame against
+    the generator's pre-encode ground truth — so container parsing,
+    frame indexing, AND the per-frame decode are all hash-verified.
+    This upgrades video from the byte-window stand-in
+    (`ext_multimodal_frames`) to a first-class modality beside the
+    image (pHash) and audio (energy-hash) operators.
+
+    Scale (100 TB): the sampler emits n_frames/k bounded rows per
+    clip and never materializes unsampled frames; the modality lives
+    in its own table so the scan prunes everything else."""
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    media = spark.read.parquet(
+        os.path.join(ensure_media_fixtures(), "media_video.parquet")
+    )
+    return sample_video_frames(media, every_k=VIDEO_EVERY_K)

@@ -399,3 +399,44 @@ def gen_media(
     pq.write_table(table, os.path.join(path, "media.parquet"))
     with open(os.path.join(path, "media_truth.jsonl"), "w") as f:
         f.write("\n".join(json.dumps(r) for r in truth))
+
+    # --- video fixtures (separate table: the PNG/WAV-only queries
+    # above keep their payload universe; video gets its own) ---------
+    from bigdata_spark_realtime_spark.operators.media_codec import (
+        mjv_encode,
+    )
+
+    vids, vpayloads, vtruth = [], [], []
+    for v in range(6):
+        mid = 1000 + v
+        width = rng.randint(8, 24)
+        height = rng.randint(8, 20)
+        channels = rng.choice([1, 3])
+        n_frames = rng.randint(4, 10)
+        frames = []
+        for fi in range(n_frames):
+            pixels = bytes(
+                rng.randrange(256) for _ in range(width * height * channels)
+            )
+            frames.append(png_encode(pixels, width, height, channels))
+            vtruth.append(
+                {
+                    "media_id": mid,
+                    "frame_idx": fi,
+                    "width": width,
+                    "height": height,
+                    "frame_md5": hashlib.md5(pixels).hexdigest(),
+                }
+            )
+        vids.append(mid)
+        vpayloads.append(mjv_encode(frames))
+    vtable = pa.table(
+        {
+            "media_id": pa.array(vids, pa.int64()),
+            "kind": pa.array(["video"] * len(vids), pa.string()),
+            "payload": pa.array(vpayloads, pa.binary()),
+        }
+    )
+    pq.write_table(vtable, os.path.join(path, "media_video.parquet"))
+    with open(os.path.join(path, "video_truth.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in vtruth))

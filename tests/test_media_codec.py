@@ -126,3 +126,30 @@ def test_resize_media_really_resamples(spark):
     xs = (np.arange(4) * w0) // 4
     expected = arr[ys][:, xs]
     assert pixels == expected.tobytes()
+
+
+def test_mjv_container_round_trip_and_corruption():
+    """MJV frame container: encode/decode round trip is exact; any
+    truncation or trailing garbage raises (corrupt shards must fail
+    loudly, same contract as the PNG/WAV decoders)."""
+    import pytest
+
+    from bigdata_spark_realtime_spark.operators.media_codec import (
+        is_mjv,
+        mjv_decode,
+        mjv_encode,
+        png_encode,
+    )
+
+    frames = [
+        png_encode(bytes([i] * (4 * 3 * 3)), 4, 3, 3) for i in range(5)
+    ]
+    payload = mjv_encode(frames)
+    assert is_mjv(payload)
+    assert mjv_decode(payload) == frames
+    with pytest.raises(ValueError):
+        mjv_decode(payload[:-3])  # truncated last frame
+    with pytest.raises(ValueError):
+        mjv_decode(payload + b"x")  # trailing bytes
+    with pytest.raises(ValueError):
+        mjv_decode(b"NOPE" + payload[4:])  # bad magic
