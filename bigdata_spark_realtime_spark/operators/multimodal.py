@@ -333,6 +333,67 @@ def audiohash_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, PHASH_SCHEMA)
 
 
+def frame_luma_sum(pixels: bytes, w: int, h: int, ch: int) -> int:
+    """Exact integer luma total of a frame (same ITU-R 601 integer
+    luma as :func:`phash64`) — shared by the scene-cut kernel and the
+    fixture generator's ground truth."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch).astype(np.int64)
+    if ch == 1:
+        luma = arr[:, :, 0]
+    else:
+        luma = (
+            299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+        ) // 1000
+    return int(luma.sum())
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("n_pix", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, luma_sum, n_pix) for EVERY frame of every
+    MJV clip — container parse + per-frame decode + integer luma
+    reduction in one Arrow pass (the input to scene-cut detection;
+    2 int64s per frame leave the task, never pixels)."""
+
+    def _stats(row):
+        media_id, payload = row
+        out = []
+        for idx, f in enumerate(media_codec.mjv_decode(payload)):
+            w, h, ch, pixels = media_codec.png_decode(f)
+            out.append((media_id, idx, frame_luma_sum(pixels, w, h, ch), w * h))
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                r
+                for t in zip(pdf["media_id"], pdf["payload"])
+                for r in _stats(t)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "luma_sum", "n_pix"]
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "int32",
+                    "luma_sum": "int64",
+                    "n_pix": "int64",
+                }
+            )
+
+    return media.mapInPandas(fn, VIDEO_STATS_SCHEMA)
+
+
 VIDEO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -28,3 +28,8 @@ register("ext_multimodal_audiohash_pairs", oracle=mm.AUDIOHASH_ORACLE)(
 register("ext_multimodal_video_frames", oracle=mm.VIDEO_FRAMES_ORACLE)(
     mm.ext_multimodal_video_frames
 )
+
+# scene-cut detection over the MJV clips (exact integer luma-mean jumps)
+register("ext_multimodal_scene_cuts", oracle=mm.SCENE_CUTS_ORACLE)(
+    mm.ext_multimodal_scene_cuts
+)

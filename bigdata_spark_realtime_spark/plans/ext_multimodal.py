@@ -351,3 +351,77 @@ def ext_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(ensure_media_fixtures(), "media_video.parquet")
     )
     return sample_video_frames(media, every_k=VIDEO_EVERY_K)
+
+
+#: minimum mean-luma jump (ITU-R 601 units) that counts as a scene cut
+SCENE_CUT_THRESHOLD = 20
+
+SCENE_CUTS_ORACLE = f"""
+WITH st AS (
+  SELECT media_id, frame_idx, luma_sum, n_pix
+  FROM read_json('{MEDIA_BASE}/video_truth.jsonl',
+    format='newline_delimited',
+    columns={{'media_id': 'BIGINT', 'frame_idx': 'INTEGER',
+              'luma_sum': 'BIGINT', 'n_pix': 'BIGINT'}})
+),
+lagd AS (
+  SELECT media_id, frame_idx, luma_sum, n_pix,
+         lag(luma_sum) OVER w AS pls, lag(n_pix) OVER w AS pnp
+  FROM st
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS cut_frame
+FROM lagd
+WHERE pls IS NOT NULL
+  AND abs(luma_sum * pnp - pls * n_pix)
+      > {SCENE_CUT_THRESHOLD} * n_pix * pnp
+"""
+
+
+def ext_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the MJV clips — the segmentation step a
+    video curation pipeline runs before clip-level dedup/captioning:
+    a cut is a frame whose mean luma jumps more than
+    {SCENE_CUT_THRESHOLD} units from its predecessor. Executors parse
+    the container and reduce EVERY frame to an exact integer luma
+    total in one Arrow pass (operators/multimodal.video_frame_stats —
+    2 int64s per frame leave the task, never pixels); the comparison
+    is the exact cross-multiply |ls_i*np_prev − ls_prev*np_i| >
+    T*np_i*np_prev, so no mean is ever divided and no float near-tie
+    exists. The oracle replays the same rule over the generator's
+    pre-encode luma sums; the fixtures plant 1–3 scenes per clip with
+    ~75-unit jumps at boundaries vs ~3-unit in-scene jitter.
+
+    Scale (100 TB): per-clip stats rows are frame-count bounded; the
+    lag window partitions by media_id AFTER the kernel, shuffling
+    only those rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        video_frame_stats,
+    )
+
+    media = spark.read.parquet(
+        os.path.join(ensure_media_fixtures(), "media_video.parquet")
+    )
+    st = video_frame_stats(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagd = st.select(
+        "media_id",
+        "frame_idx",
+        "luma_sum",
+        "n_pix",
+        F.lag("luma_sum").over(w).alias("pls"),
+        F.lag("n_pix").over(w).alias("pnp"),
+    )
+    return lagd.where(
+        F.col("pls").isNotNull()
+        & (
+            F.abs(
+                F.col("luma_sum") * F.col("pnp")
+                - F.col("pls") * F.col("n_pix")
+            )
+            > F.lit(SCENE_CUT_THRESHOLD) * F.col("n_pix") * F.col("pnp")
+        )
+    ).select("media_id", F.col("frame_idx").cast("int").alias("cut_frame"))

@@ -406,28 +406,45 @@ def gen_media(
         mjv_encode,
     )
 
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        frame_luma_sum,
+    )
+
     vids, vpayloads, vtruth = [], [], []
     for v in range(6):
         mid = 1000 + v
         width = rng.randint(8, 24)
         height = rng.randint(8, 20)
         channels = rng.choice([1, 3])
-        n_frames = rng.randint(4, 10)
-        frames = []
-        for fi in range(n_frames):
-            pixels = bytes(
-                rng.randrange(256) for _ in range(width * height * channels)
-            )
-            frames.append(png_encode(pixels, width, height, channels))
-            vtruth.append(
-                {
-                    "media_id": mid,
-                    "frame_idx": fi,
-                    "width": width,
-                    "height": height,
-                    "frame_md5": hashlib.md5(pixels).hexdigest(),
-                }
-            )
+        # scene structure: 1-3 scenes alternating dark/bright pixel
+        # ranges (mean luma ~90 vs ~165, a >>threshold jump at each
+        # boundary; in-scene frame-to-frame mean jitter is ~3 luma) —
+        # the planted positives for scene-cut detection
+        n_scenes = rng.randint(1, 3)
+        frames, fi = [], 0
+        for sc in range(n_scenes):
+            lo, hi = (0, 181) if (v + sc) % 2 == 0 else (75, 256)
+            for _ in range(rng.randint(2, 4)):
+                pixels = bytes(
+                    rng.randrange(lo, hi)
+                    for _ in range(width * height * channels)
+                )
+                frames.append(png_encode(pixels, width, height, channels))
+                vtruth.append(
+                    {
+                        "media_id": mid,
+                        "frame_idx": fi,
+                        "width": width,
+                        "height": height,
+                        "frame_md5": hashlib.md5(pixels).hexdigest(),
+                        # exact integer luma total — scene-cut ground truth
+                        "luma_sum": frame_luma_sum(
+                            pixels, width, height, channels
+                        ),
+                        "n_pix": width * height,
+                    }
+                )
+                fi += 1
         vids.append(mid)
         vpayloads.append(mjv_encode(frames))
     vtable = pa.table(

@@ -223,3 +223,45 @@ def test_audiohash_pairs_find_planted_neardups(spark):
     got = {(r["media_a"], r["media_b"]): r["hamming"] for r in rows}
     assert set(got) == {(30 + k, 68 + k) for k in range(8)}
     assert all(h <= 3 for h in got.values())
+
+
+def test_scene_cuts_match_truth_recomputation(spark):
+    """Independent numpy replay of the cut rule over the generator's
+    ground-truth luma sums must equal the Spark answer exactly, and
+    multi-scene clips must show at least one cut."""
+    import json
+    import os
+
+    from bigdata_spark_realtime_spark.plans.ext_multimodal import (
+        MEDIA_BASE,
+        SCENE_CUT_THRESHOLD,
+        ensure_media_fixtures,
+        ext_multimodal_scene_cuts,
+    )
+
+    ensure_media_fixtures()
+    truth = [
+        json.loads(l)
+        for l in open(os.path.join(MEDIA_BASE, "video_truth.jsonl"))
+    ]
+    by_clip: dict[int, list[dict]] = {}
+    for r in truth:
+        by_clip.setdefault(r["media_id"], []).append(r)
+    want = set()
+    for mid, rows in by_clip.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        for prev, cur in zip(rows, rows[1:]):
+            lhs = abs(
+                cur["luma_sum"] * prev["n_pix"]
+                - prev["luma_sum"] * cur["n_pix"]
+            )
+            if lhs > SCENE_CUT_THRESHOLD * cur["n_pix"] * prev["n_pix"]:
+                want.add((mid, cur["frame_idx"]))
+    got = {
+        (r["media_id"], r["cut_frame"])
+        for r in ext_multimodal_scene_cuts(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixtures must plant at least one multi-scene clip"

@@ -31,7 +31,7 @@ EXPECTED_PER_MODULE = {
     # frames/resize are DEFINED in ext_multimodal (so fn.__module__
     # counts them there) but REGISTERED by the ext_media_tail shim so
     # they land after the pinned round-6 gate window
-    "ext_multimodal": 8,
+    "ext_multimodal": 9,
     "ext_media_tail": 0,
     "ext_media_tail2": 0,
     "ext_asof": 1,
@@ -82,6 +82,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_multimodal_audiohash_pairs",
     "ext_bpe_apply_merge",
     "ext_multimodal_video_frames",
+    "ext_multimodal_scene_cuts",
 }
 
 #: The exact first-50 registration window the round-8 external
