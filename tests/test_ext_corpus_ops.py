@@ -612,3 +612,53 @@ def test_bpe_apply_merge_self_pair_runs(spark, tmp_path):
         2: (3, 1, 2),   # run k=1 -> 1 merge
         3: (1, 0, 1),   # no pairs
     }
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark, tmp_path):
+    """Interval semantics: strict lower bound (a purchase AT the click
+    instant doesn't count), inclusive upper bound (exactly +1h does),
+    and the blocking recall edge — a purchase in the NEXT hour bucket
+    but within the window must be found."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_rangejoin import (
+        ext_range_join_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1, 10, 30, 0, tzinfo=timezone.utc)
+
+    def us(dt_seconds):
+        return int((t0.timestamp() + dt_seconds) * 1_000_000)
+
+    rows = [
+        # (event_id, us_offset, user, type)
+        (1, 0, 7, "click"),        # bucket of 10:30
+        (2, 0, 7, "purchase"),     # AT the click -> excluded (strict >)
+        (3, 600, 7, "purchase"),   # +10 min, same bucket -> counted
+        (4, 2400, 7, "purchase"),  # +40 min, NEXT hour bucket -> counted
+        (5, 3600, 7, "purchase"),  # exactly +1h -> counted (inclusive)
+        (6, 3601, 7, "purchase"),  # +1h 1s -> excluded
+        (7, 600, 8, "purchase"),   # other user -> excluded
+        (8, 0, 9, "click"),        # no purchases -> 0
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [us(r[1]) for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r["click_id"]: r["n_purchases"]
+        for r in ext_range_join_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 8: 0}

@@ -34,6 +34,7 @@ EXPECTED_PER_MODULE = {
     "ext_multimodal": 9,
     "ext_media_tail": 0,
     "ext_media_tail2": 0,
+    "ext_rangejoin": 1,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -83,6 +84,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_bpe_apply_merge",
     "ext_multimodal_video_frames",
     "ext_multimodal_scene_cuts",
+    "ext_range_join_attribution",
 }
 
 #: The exact first-50 registration window the round-8 external
