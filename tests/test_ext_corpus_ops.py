@@ -662,3 +662,28 @@ def test_range_join_boundaries_and_bucket_crossing(spark, tmp_path):
         for r in ext_range_join_attribution(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 8: 0}
+
+
+def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
+    """The inclusion-exclusion overlap estimate from merged register
+    state must land near the exact intersection. Tolerance is loose
+    (m=256 → ~6.5% per-term error, and differencing compounds it) —
+    the point is the merged-union algebra is sane, the exactness claim
+    lives in the integer-state oracle."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch_tail import (
+        ext_hll_set_algebra,
+        hll_intersection_estimate,
+    )
+
+    rows = ext_hll_set_algebra(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        est = hll_intersection_estimate(
+            r["scaled_a"], r["nonzero_a"],
+            r["scaled_b"], r["nonzero_b"],
+            r["union_scaled"], r["union_nonzero"],
+        )
+        exact = r["exact_intersection"]
+        assert abs(est - exact) <= max(0.35 * exact, 25), (
+            r["type_a"], r["type_b"], est, exact,
+        )

@@ -35,6 +35,8 @@ EXPECTED_PER_MODULE = {
     "ext_media_tail": 0,
     "ext_media_tail2": 0,
     "ext_rangejoin": 1,
+    "ext_rollup": 1,
+    "ext_sketch_tail": 1,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -85,6 +87,8 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_multimodal_video_frames",
     "ext_multimodal_scene_cuts",
     "ext_range_join_attribution",
+    "ext_rollup_cascade",
+    "ext_hll_set_algebra",
 }
 
 #: The exact first-50 registration window the round-8 external
