@@ -205,3 +205,93 @@ def ext_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch: log-bucketed histogram with pure-integer, log-free keys
+# ---------------------------------------------------------------------------
+
+QSKETCH_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v100
+  FROM events WHERE value > 0
+),
+keyed AS (
+  SELECT event_type,
+         CASE WHEN v100 < 8 THEN v100
+              ELSE (length(bin(v100)) << 3)
+                   | (v100 >> (length(bin(v100)) - 3)) END AS bkt
+  FROM v
+)
+SELECT event_type, CAST(bkt AS BIGINT) AS bkt,
+       CAST(count(*) AS BIGINT) AS ct
+FROM keyed GROUP BY event_type, bkt
+"""
+
+
+def qsketch_bucket_bounds(bkt: int) -> tuple[float, float]:
+    """[lo, hi) of a bucket key in ORIGINAL value units (v100 / 100)."""
+    if bkt < 8:
+        return bkt / 100.0, (bkt + 1) / 100.0
+    octave, top3 = bkt >> 3, bkt & 7
+    shift = octave - 3
+    return (top3 << shift) / 100.0, ((top3 + 1) << shift) / 100.0
+
+
+def qsketch_quantile(buckets: dict[int, int], q: float) -> float:
+    """Quantile estimate = midpoint of the bucket holding the q-th
+    ranked value. Driver-side float; the oracle-checked surface is the
+    integer bucket counts."""
+    total = sum(buckets.values())
+    target = q * total
+    seen = 0.0
+    for bkt in sorted(buckets):
+        seen += buckets[bkt]
+        if seen >= target:
+            lo, hi = qsketch_bucket_bounds(bkt)
+            return (lo + hi) / 2
+    lo, hi = qsketch_bucket_bounds(max(buckets))
+    return (lo + hi) / 2
+
+
+@register("ext_quantile_sketch", oracle=QSKETCH_ORACLE)
+def ext_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over `events.value` per event type —
+    the DDSketch idea (log-spaced buckets -> bounded RELATIVE error)
+    built from pure integer ops so the state is bit-exact
+    cross-engine: cents = floor(value*100); bucket = the cents'
+    octave (``length(bin(x))`` — bit length, no float log anywhere)
+    plus its top-3 mantissa bits, packed as ``(L << 3) | top3``.
+    That's <= 1/8 relative bucket width: p50/p95/p99 estimates land
+    within ~6% of exact.
+
+    Why a sketch at 100 TB: exact percentiles need a global sort or
+    rank; this state is ~500 bytes per group, merges by ADDING bucket
+    counts (across partitions, days, or micro-batches — same property
+    as the CMS cells), and the quantile read is a driver-side walk.
+    One (group, bucket) shuffle with map-side partials, same shape as
+    HLL/CMS. The float quantile derivation stays outside the checked
+    query (`qsketch_quantile`), accuracy pinned in tests."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    # shiftleft/shiftright need a column shift amount -> SQL expr (the
+    # python helpers only take int literals)
+    octave_key = F.expr(
+        "shiftleft(CAST(length(bin(v100)) AS BIGINT), 3)"
+        " | shiftright(v100, length(bin(v100)) - 3)"
+    )
+    return (
+        cents.select(
+            "event_type",
+            F.when(F.col("v100") < 8, F.col("v100"))
+            .otherwise(octave_key)
+            .cast("bigint")
+            .alias("bkt"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )

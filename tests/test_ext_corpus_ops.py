@@ -687,3 +687,37 @@ def test_hll_intersection_estimate_within_tolerance(spark, sf_dir):
         assert abs(est - exact) <= max(0.35 * exact, 25), (
             r["type_a"], r["type_b"], est, exact,
         )
+
+
+def test_quantile_sketch_estimates_within_relative_error(spark, sf_dir):
+    """The octave+top-3-bits buckets bound relative error at 1/8 per
+    bucket; p50/p95/p99 estimates must land within ~8% of exact numpy
+    percentiles (nearest-rank)."""
+    import numpy as np
+
+    from bigdata_spark_realtime_spark.plans.ext_sketch_tail import (
+        ext_quantile_sketch,
+        qsketch_quantile,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    rows = ext_quantile_sketch(spark, sf_dir).collect()
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["bkt"]] = r["ct"]
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .where("value > 0")
+        .select("event_type", "value")
+        .collect()
+    )
+    exact: dict[str, list[float]] = {}
+    for r in vals:
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    assert set(by_type) == set(exact)
+    for et, buckets in by_type.items():
+        xs = np.sort(np.array(exact[et]))
+        for q in (0.5, 0.95, 0.99):
+            est = qsketch_quantile(buckets, q)
+            true = float(xs[min(len(xs) - 1, int(np.ceil(q * len(xs))) - 1)])
+            assert abs(est - true) <= 0.08 * true + 0.02, (et, q, est, true)

@@ -36,7 +36,7 @@ EXPECTED_PER_MODULE = {
     "ext_media_tail2": 0,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
-    "ext_sketch_tail": 1,
+    "ext_sketch_tail": 2,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -89,6 +89,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_range_join_attribution",
     "ext_rollup_cascade",
     "ext_hll_set_algebra",
+    "ext_quantile_sketch",
 }
 
 #: The exact first-50 registration window the round-8 external
