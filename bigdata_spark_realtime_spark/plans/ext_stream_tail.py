@@ -149,3 +149,52 @@ def stream_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_q DIV n_vectors").alias("centroid_q"),
         "n_vectors",
     )
+
+
+def _qsketch_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_sketch_tail import (
+        QSKETCH_ORACLE,
+    )
+
+    return QSKETCH_ORACLE
+
+
+@register("stream_quantile_sketch", oracle=_qsketch_oracle())
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch as continuous intake — real-time latency/
+    value percentiles, the metric every streaming SLO dashboard needs:
+    per-(event_type, bucket) counts accumulate in Spark's state store
+    in complete mode. Integer bucket counts merge by ADDITION, which
+    is associative and order-independent, so ANY micro-batch arrival
+    order produces the same state and the drained result hash-matches
+    the batch operator's oracle exactly. State is bucket-count-bounded
+    (~hundreds of rows per group), never value-count-bounded; the
+    p50/p95/p99 read stays a driver-side walk over the drained frame
+    (plans/ext_sketch_tail.qsketch_quantile)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+        _events_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir).where(F.col("value") > 0)
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    octave_key = F.expr(
+        "shiftleft(CAST(length(bin(v100)) AS BIGINT), 3)"
+        " | shiftright(v100, length(bin(v100)) - 3)"
+    )
+    keyed = cents.select(
+        "event_type",
+        F.when(F.col("v100") < 8, F.col("v100"))
+        .otherwise(octave_key)
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    state = keyed.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    return _drain_to_memory(state, spark, output_mode="complete")

@@ -59,7 +59,7 @@ EXPECTED_PER_MODULE = {
     "ext_sketch": 2,
     "ext_dsir": 1,
     "ext_bpe": 2,
-    "ext_stream_tail": 3,
+    "ext_stream_tail": 4,
     "ext_embed": 4,
     "ext_vocab": 2,
     "streaming_queries": 13,
@@ -90,6 +90,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_rollup_cascade",
     "ext_hll_set_algebra",
     "ext_quantile_sketch",
+    "stream_quantile_sketch",
 }
 
 #: The exact first-50 registration window the round-8 external
