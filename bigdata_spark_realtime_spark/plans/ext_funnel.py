@@ -159,3 +159,61 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+COOC_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase') AND props IS NOT NULL
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ui a JOIN ui b
+  ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY a.item, b.item
+"""
+
+
+@register("ext_item_cooccurrence", oracle=COOC_ORACLE)
+def ext_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence counts — the collaborative-filtering /
+    item-graph prep step (the input to ALS similarity, co-visitation
+    recommenders, and graph clustering): for every item pair, how many
+    users interacted with both.
+
+    Scale (100 TB): distinct (user, item) happens once (one shuffle
+    with map-side partials), then the pair expansion is a self
+    equi-join ON THE USER KEY — pairs only ever materialize within a
+    user's own item set, so the blow-up is bounded by per-user
+    cardinality squared, not corpus size. Power users are the skew
+    risk: cap per-user items upstream (`ext_sample_source_cap`'s
+    quota-window shape) or let AQE's skew-join split the hot
+    partitions; the same guarded-bucket-pairs machinery the LSH path
+    uses (`plans/ext_dedup._bucket_pairs`) is the drop-in when user
+    cardinality is adversarial. The final (item_a, item_b) count
+    groupBy runs on item-pair-cardinality rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = (
+        ev.where(
+            F.col("event_type").isin("click", "view", "purchase")
+            & F.col("props").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("item").alias("item_a"))
+    b = ui.select(F.col("user_id").alias("uid_b"), F.col("item").alias("item_b"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
