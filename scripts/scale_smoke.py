@@ -43,13 +43,25 @@ SMOKE_QUERIES = (
     "ext_embed_centroids",
     "ext_kmeans_assign",
     "ext_vocab_topk_lang",
+    # events family (replicated with disjoint user/event-id spans so
+    # per-user structure — funnel chains, item sets, sketch groups —
+    # is preserved and outputs scale linearly with rows)
+    "ext_range_join_attribution",
+    "ext_rollup_cascade",
+    "ext_funnel_steps",
+    "ext_retention_cohorts",
+    "ext_item_cooccurrence",
+    "ext_quantile_sketch",
+    "ext_hll_set_algebra",
 )
 
 
 def build_copy(spark) -> None:
     from bigdata_spark_realtime_spark.sources.tables import load_table
 
-    if os.path.exists(os.path.join(BIG, "documents.parquet")):
+    if os.path.exists(os.path.join(BIG, "documents.parquet")) and os.path.exists(
+        os.path.join(BIG, "events.parquet")
+    ):
         return
     os.makedirs(BIG, exist_ok=True)
     docs = load_table(spark, BASE, "documents")
@@ -113,6 +125,31 @@ def build_copy(spark) -> None:
     eout.repartition(8).write.mode("overwrite").parquet(
         os.path.join(BIG, "embeddings.parquet")
     )
+
+    # events replica must stay a SINGLE parquet file (the loader's
+    # ts-vintage sniffing reads one file); duckdb COPY does that.
+    # Disjoint user spans per replica: user-keyed operators (funnel,
+    # co-occurrence, retention, HLL audiences) see 10x users with the
+    # SAME per-user event structure — outputs scale linearly instead
+    # of fusing replicas into 10x-denser synthetic users.
+    import duckdb
+
+    con = duckdb.connect()
+    (k,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + u.r * {k} AS event_id, ts,
+                 user_id + u.r * 1000000 AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{BASE}/events.parquet'),
+               unnest(range({REPS})) AS u(r)
+        ) TO '{BIG}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
 
 
 def main() -> None:
