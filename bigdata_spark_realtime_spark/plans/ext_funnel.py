@@ -217,3 +217,52 @@ def ext_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("ext_event_transitions", oracle=TRANSITIONS_ORACLE)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transition counts — the Markov
+    census behind user-flow sankeys and next-action models. One lead
+    window per user over (epoch-micros, event_id) — the integer
+    composite key makes the ordering deterministic cross-engine even
+    under timestamp ties — then a types² count groupBy.
+
+    Scale (100 TB): the window shuffles on user_id (per-user event
+    counts bound each partition's sort); the transition matrix output
+    is event-type-cardinality squared. A production variant bounds the
+    window per day to keep per-user state from growing unboundedly —
+    same plan with the date in the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

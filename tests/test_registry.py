@@ -37,7 +37,7 @@ EXPECTED_PER_MODULE = {
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
-    "ext_funnel": 3,
+    "ext_funnel": 4,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -95,6 +95,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_funnel_steps",
     "ext_retention_cohorts",
     "ext_item_cooccurrence",
+    "ext_event_transitions",
 }
 
 #: The exact first-50 registration window the round-8 external
