@@ -295,3 +295,36 @@ def test_scoped_persist_bounds_cache_entries(spark):
     for df in live:
         df.unpersist()
     corpus._SCOPED_PERSISTS.pop(scope, None)
+
+
+def test_hostile_session_timezone_is_repinned(spark):
+    """The driver's verify harness builds its OWN SparkSession; if that
+    session carries a non-UTC timezone, every date/hour derivation
+    (F1-F3, windows, rollups, retention cohorts) would shift silently.
+    ensure_session_confs — called by load_table — must repin the
+    session, so a TZ-sensitive query returns identical rows under a
+    deliberately hostile sibling session."""
+    from bigdata_spark_realtime_spark.plans.ext_funnel import (
+        ext_retention_cohorts,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_rollup import (
+        ext_rollup_cascade,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(s, fn):
+        return sorted(tuple(r) for r in fn(s, sf).collect())
+
+    want_roll = rows(spark, ext_rollup_cascade)
+    want_ret = rows(spark, ext_retention_cohorts)
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        assert rows(hostile, ext_rollup_cascade) == want_roll
+        assert rows(hostile, ext_retention_cohorts) == want_ret
+        # load_table repinned the hostile session as a side effect
+        assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        hostile.conf.set("spark.sql.session.timeZone", "UTC")
