@@ -1119,19 +1119,26 @@ WITH pu AS (
   GROUP BY 1, 2
 ),
 u AS (
-  SELECT l_partkey, l_suppkey, round(cents / qty / 100.0, 4) AS unit_price
+  -- unit price in integer basis points (price x 10^4, truncated):
+  -- cents x 100 // whole-unit quantity. l_quantity is integral in
+  -- this schema (asserted by the Spark side), so the quotient is
+  -- exact int64 in both engines -- a round(x, 4) on the float
+  -- quotient flipped the last digit between engines at sf0.1
+  SELECT l_partkey, l_suppkey,
+         CAST((cents * 100) // CAST(qty AS BIGINT) AS BIGINT)
+           AS unit_price_bp
   FROM pu
 ),
 m AS (
-  SELECT l_partkey, l_suppkey, unit_price,
-         min(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+  SELECT l_partkey, l_suppkey, unit_price_bp,
+         min(unit_price_bp) OVER (PARTITION BY l_partkey) AS min_bp
   FROM u
 )
-SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_price
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_price_bp
 FROM m
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
-WHERE unit_price = min_price
+WHERE unit_price_bp = min_bp
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
@@ -1145,9 +1152,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's minimum unit price, richest-supplier-first top-100.
 
     Scale: the correlated min is a window over the per-(part,supplier)
-    aggregate — |pu| rows, not lineitem; unit prices are exact-cent
-    ratios rounded identically in both engines, so the min-equality
-    predicate cannot drift; top-100 compiles to TakeOrderedAndProject."""
+    aggregate — |pu| rows, not lineitem; unit prices are integer
+    basis points ((cents x 100) DIV whole-unit qty -- l_quantity is
+    integral in this schema), so the min-equality predicate is exact
+    int64 and cannot drift (a float round(x, 4) here flipped the last
+    digit between engines at sf0.1); top-100 compiles to
+    TakeOrderedAndProject."""
     li, p, s, n = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     from pyspark.sql import Window
 
@@ -1163,13 +1173,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = pu.select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("cents") / F.col("qty") / 100.0, 4).alias("unit_price"),
+        # integer basis points; qty is integral (whole units) so the
+        # cast is exact -- float round() here diverged cross-engine
+        F.expr("(cents * 100) DIV CAST(qty AS BIGINT)").alias(
+            "unit_price_bp"
+        ),
     )
     m = u.withColumn(
-        "min_price", F.min("unit_price").over(Window.partitionBy("l_partkey"))
+        "min_bp", F.min("unit_price_bp").over(Window.partitionBy("l_partkey"))
     )
     return (
-        m.where(F.col("unit_price") == F.col("min_price"))
+        m.where(F.col("unit_price_bp") == F.col("min_bp"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             broadcast_bounded(n.select("n_nationkey", "n_name")),
@@ -1180,7 +1194,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
-            "unit_price",
+            "unit_price_bp",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
