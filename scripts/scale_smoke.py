@@ -152,6 +152,48 @@ def build_copy(spark) -> None:
     con.close()
 
 
+MEDIA_QUERIES = (
+    "ext_multimodal_decode",
+    "ext_multimodal_phash_pairs",
+    "ext_multimodal_audiohash_pairs",
+    "ext_multimodal_video_frames",
+    "ext_multimodal_scene_cuts",
+)
+
+
+def media_smoke(spark, specs) -> None:
+    """Time the real-codec media family on 1x and 10x fixture sets.
+
+    The gate fixtures are deliberately tiny (~60 items); this section
+    regenerates them 10x bigger in a scratch dir (10x images/audio,
+    10x near-dup plants, the generator's video count stays but could
+    scale the same way) and repoints the module's fixture root — the
+    query functions and their kernels run unchanged. Per-item cost
+    should be flat: decode+fingerprint is map-side, pair blocking is
+    banded."""
+    from bigdata_spark_realtime_spark.plans import ext_multimodal as mm
+    from bigdata_spark_realtime_spark.sources.fixtures import gen_media
+
+    big_media = os.path.join(BIG, "media_10x")
+    if not os.path.exists(os.path.join(big_media, "media_truth.jsonl")):
+        os.makedirs(big_media, exist_ok=True)
+        gen_media(big_media, n_images=300, n_audio=300, n_neardup=80)
+    orig = mm.MEDIA_BASE
+    for base, tag in ((orig, "media_1x"), (big_media, "media_10x")):
+        mm.MEDIA_BASE = base
+        try:
+            timings = {}
+            for name in MEDIA_QUERIES:
+                fn = specs[name].fn
+                fn(spark, BASE).write.format("noop").mode("overwrite").save()
+                t0 = time.perf_counter()
+                fn(spark, BASE).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            print(json.dumps({"scale": tag, "queries": timings}))
+        finally:
+            mm.MEDIA_BASE = orig
+
+
 def main() -> None:
     from bigdata_spark_realtime_spark.plans import registry
     from bigdata_spark_realtime_spark.session import get_spark
@@ -174,6 +216,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         print(json.dumps({"scale": tag, "queries": timings}))
+    media_smoke(spark, specs)
     spark.stop()
 
 
