@@ -319,11 +319,24 @@ def test_hostile_session_timezone_is_repinned(spark):
     want_roll = rows(spark, ext_rollup_cascade)
     want_ret = rows(spark, ext_retention_cohorts)
 
+    from bigdata_spark_realtime_spark.plans.scalar_fns import (
+        f1_f2_dt_hr_derive,
+        f3_datetime_split,
+    )
+    from bigdata_spark_realtime_spark.plans.windows import (
+        w6_tumbling_window_agg,
+    )
+
+    tz_sensitive = [f1_f2_dt_hr_derive, f3_datetime_split, w6_tumbling_window_agg]
+    wants = [rows(spark, fn) for fn in tz_sensitive]
+
     hostile = spark.newSession()
     hostile.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
     try:
         assert rows(hostile, ext_rollup_cascade) == want_roll
         assert rows(hostile, ext_retention_cohorts) == want_ret
+        for fn, want in zip(tz_sensitive, wants):
+            assert rows(hostile, fn) == want, fn.__name__
         # load_table repinned the hostile session as a side effect
         assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
