@@ -171,9 +171,20 @@ def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    w1, w2 = top["w1"], top["w2"]
+    if not top:
+        # no adjacent pair anywhere (every doc < 2 tokens): nothing to
+        # merge — mirror the oracle, whose empty top1 yields 0 merges
+        t0 = F.split("text", " ")
+        n0 = F.size(t0).cast("bigint")
+        return docs.select(
+            "doc_id",
+            n0.alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_merges"),
+            n0.alias("n_tokens_after"),
+        )
+    w1, w2 = top[0]["w1"], top[0]["w2"]
 
     t = F.split("text", " ")
     n_tokens = F.size(t).cast("bigint")

@@ -513,8 +513,13 @@ def simhash_pairs_from(sh: DataFrame) -> DataFrame:
     independent (verified against DuckDB's >> on negative BIGINTs)."""
     # three consumers (banding + both sides of the hamming verify join);
     # the cached frame is 2 int64s per doc — cheaper at any scale than
-    # re-running the 64-sum fingerprint aggregation per consumer
-    sh.persist()
+    # re-running the 64-sum fingerprint aggregation per consumer.
+    # scoped: each invocation evicts the previous one's entry (builders
+    # have no action to unpersist after — the round-7 ADVICE pattern);
+    # callers include the simhash, pHash, and audio-hash pair queries
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    scoped_persist(sh, "simhash_pairs_fingerprints", keep=1)
     bands = sh.select(
         "doc_id",
         F.explode(

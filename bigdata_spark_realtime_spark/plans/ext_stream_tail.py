@@ -14,13 +14,19 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdata_spark_realtime_spark.plans.registry import register
 
 
-def _dsir_oracle() -> str:
-    from bigdata_spark_realtime_spark.plans.ext_dsir import DSIR_ORACLE
+# NOTE: these oracle imports run at module-import time, which is fine:
+# every sibling module sits EARLIER in registry._PLAN_MODULES, so its
+# queries are already registered before this shim loads (and importing
+# an already-imported module is a no-op for registration order).
+from bigdata_spark_realtime_spark.plans.ext_dsir import DSIR_ORACLE
+from bigdata_spark_realtime_spark.plans.ext_embed import (
+    CENTROIDS_ORACLE,
+    QUANTIZE_ORACLE,
+)
+from bigdata_spark_realtime_spark.plans.ext_sketch_tail import QSKETCH_ORACLE
 
-    return DSIR_ORACLE
 
-
-@register("stream_dsir_select", oracle=_dsir_oracle())
+@register("stream_dsir_select", oracle=DSIR_ORACLE)
 def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection as continuous intake — the production shape for
     importance-weighting documents at ingest time: the ratio table is
@@ -55,13 +61,7 @@ def stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_by_corpus_mean(_drain_to_memory(scored, spark))
 
 
-def _quantize_oracle() -> str:
-    from bigdata_spark_realtime_spark.plans.ext_embed import QUANTIZE_ORACLE
-
-    return QUANTIZE_ORACLE
-
-
-@register("stream_embed_quantize", oracle=_quantize_oracle())
+@register("stream_embed_quantize", oracle=QUANTIZE_ORACLE)
 def stream_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization as continuous intake — the production shape
     for an embedding feed landing in an ANN/KV store: the per-dim
@@ -94,15 +94,7 @@ def stream_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(quantize_components(dims, scales), spark)
 
 
-def _centroids_oracle() -> str:
-    from bigdata_spark_realtime_spark.plans.ext_embed import (
-        CENTROIDS_ORACLE,
-    )
-
-    return CENTROIDS_ORACLE
-
-
-@register("stream_embed_centroids", oracle=_centroids_oracle())
+@register("stream_embed_centroids", oracle=CENTROIDS_ORACLE)
 def stream_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label centroids maintained as STATEFUL streaming aggregation —
     the continuously-refreshed class-prototype store (the statistic
@@ -151,15 +143,7 @@ def stream_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qsketch_oracle() -> str:
-    from bigdata_spark_realtime_spark.plans.ext_sketch_tail import (
-        QSKETCH_ORACLE,
-    )
-
-    return QSKETCH_ORACLE
-
-
-@register("stream_quantile_sketch", oracle=_qsketch_oracle())
+@register("stream_quantile_sketch", oracle=QSKETCH_ORACLE)
 def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile sketch as continuous intake — real-time latency/
     value percentiles, the metric every streaming SLO dashboard needs:

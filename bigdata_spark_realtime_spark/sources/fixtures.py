@@ -375,10 +375,12 @@ def gen_media(
                 buf[pos] = min(255, buf[pos] + 3)
         add_image(n_images + n_audio + k, bytes(buf), width, height, channels)
 
-    # near-duplicate audio copies: +1 (clamped) on every 64th sample's
-    # low byte — a sub-LSB-of-energy amplitude nudge, so each copy's
-    # 64-block energy signature lands within a few hamming bits of its
-    # original (the audio analog of the image perturbations above).
+    # near-duplicate audio copies: +1 (clamped) on the low byte of one
+    # int16 sample per 128 raw bytes (mono: every 64th sample; stereo:
+    # one channel-slot per 32 frames) — a sub-LSB-of-energy amplitude
+    # nudge either way, so each copy's 64-block energy signature lands
+    # within a few hamming bits of its original (the audio analog of
+    # the image perturbations above).
     for k in range(min(n_neardup, n_audio)):
         frames, n_channels, frame_rate, n_frames = audio_originals[k]
         buf = bytearray(frames)

@@ -37,6 +37,12 @@ def main() -> int:
     import __spark_entry__ as entry
     from bigdata_spark_realtime_spark.session import get_spark
 
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"),
+    )
+    from oracle_util import assert_matches_oracle
+
     spark = get_spark(app_name="bsr-oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -46,6 +52,18 @@ def main() -> int:
             f"read_parquet('{SWEEP_DIR}/{t}.parquet')"
         )
     oracles = entry.oracle_sql()
+
+    # reuse the suite's comparator (tests/oracle_util): it enforces the
+    # driver-relevant dtype-KIND check (int-vs-float divergence raw
+    # numpy equality would miss) and handles NULL/NaN columns that
+    # would spuriously flag under element equality
+    class _DF:  # minimal .toPandas() shim for the helper
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def toPandas(self):
+            return self._pdf
+
     problems = []
     t0 = time.time()
     for name, fn in entry.queries().items():
@@ -57,25 +75,11 @@ def main() -> int:
         if name not in oracles:
             continue
         try:
-            want = con.sql(oracles[name]).df()
+            assert_matches_oracle(_DF(got), con, oracles[name])
+        except AssertionError as ex:
+            problems.append((name, f"MISMATCH {ex}"))
         except Exception as ex:  # noqa: BLE001
             problems.append((name, f"ORACLE-ERROR {type(ex).__name__}: {ex}"))
-            continue
-        cols = sorted(got.columns)
-        g = got[cols].sort_values(by=cols).reset_index(drop=True)
-        w = want[sorted(want.columns)]
-        if sorted(want.columns) != cols:
-            problems.append((name, f"COLUMNS {cols} vs {sorted(want.columns)}"))
-            continue
-        w = w.sort_values(by=cols).reset_index(drop=True)
-        if g.shape != w.shape:
-            problems.append((name, f"SHAPE {g.shape} vs {w.shape}"))
-            continue
-        for c in cols:
-            if not (g[c].values == w[c].values).all():
-                n_bad = int((~(g[c].values == w[c].values)).sum())
-                problems.append((name, f"VALUES col={c} rows={n_bad}"))
-                break
     print(f"swept {len(oracles)} oracled queries at {SWEEP_DIR} "
           f"in {time.time() - t0:.0f}s")
     for name, why in problems:
