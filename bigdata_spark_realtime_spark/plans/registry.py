@@ -113,7 +113,7 @@ _PLAN_MODULES = (
     # oracle mirrors meanwhile.
     #
     # ROUND-9 ROTATION PLAN (execute FIRST thing next round, exactly
-    # like the r8 rotation): move these ten tail modules (25 queries:
+    # like the r8 rotation): move these ten tail modules (26 queries:
     # ext_dsir_select, ext_bpe_merges, stream_dsir_select,
     # stream_embed_quantize, stream_embed_centroids,
     # ext_embed_quantize_int8, ext_embed_centroids,
@@ -124,11 +124,11 @@ _PLAN_MODULES = (
     # ext_range_join_attribution, ext_rollup_cascade,
     # ext_hll_set_algebra, ext_quantile_sketch, stream_quantile_sketch,
     # ext_funnel_steps, ext_retention_cohorts, ext_item_cooccurrence,
-    # ext_event_transitions) to the FRONT of
+    # ext_event_transitions, stream_rollup_cascade) to the FRONT of
     # _PLAN_MODULES, fill the remaining 38 window slots with the
     # oldest-verified r5 blocks (tpch head), update
     # tests/test_registry.R8_WINDOW/R8_TARGETS/PENDING_FIRST_DRIVER_ROW
-    # in the SAME commit. Done = CORRECTNESS_r9 green rows for all 25,
+    # in the SAME commit. Done = CORRECTNESS_r9 green rows for all 26,
     # emptying PENDING_FIRST_DRIVER_ROW. (ext_media_tail2 imports
     # ext_multimodal, whose 3 base queries register first wherever the
     # shim lands — account for them when counting window slots.)

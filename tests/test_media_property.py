@@ -100,3 +100,25 @@ def test_runs_formula_equals_reference_scan(tokens):
                 prev = p
             via_runs = sum((k + 1) // 2 for k in runs)
             assert via_runs == _reference_leftmost_merges(tokens, w1, w2)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 10_000_000))
+def test_qsketch_bucket_bounds_contain_their_values(v100):
+    """Every cents value must land inside [lo, hi) of its own bucket
+    key, and the relative bucket width must respect the <= 1/8 bound
+    for the octave-keyed range (v100 >= 8)."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch_tail import (
+        qsketch_bucket_bounds,
+    )
+
+    if v100 < 8:
+        bkt = v100
+    else:
+        L = v100.bit_length()
+        bkt = (L << 3) | (v100 >> (L - 3))
+    lo, hi = qsketch_bucket_bounds(bkt)
+    v = v100 / 100.0
+    assert lo <= v < hi, (v100, bkt, lo, hi)
+    if v100 >= 8:
+        assert (hi - lo) <= lo / 4 + 1e-9  # width <= lo/4 (1/8 of mid)

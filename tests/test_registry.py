@@ -60,7 +60,7 @@ EXPECTED_PER_MODULE = {
     "ext_sketch": 2,
     "ext_dsir": 1,
     "ext_bpe": 2,
-    "ext_stream_tail": 4,
+    "ext_stream_tail": 5,
     "ext_embed": 4,
     "ext_vocab": 2,
     "streaming_queries": 13,
@@ -96,6 +96,7 @@ PENDING_FIRST_DRIVER_ROW = {
     "ext_retention_cohorts",
     "ext_item_cooccurrence",
     "ext_event_transitions",
+    "stream_rollup_cascade",
 }
 
 #: The exact first-50 registration window the round-8 external
