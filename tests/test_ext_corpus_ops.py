@@ -721,3 +721,55 @@ def test_quantile_sketch_estimates_within_relative_error(spark, sf_dir):
             est = qsketch_quantile(buckets, q)
             true = float(xs[min(len(xs) - 1, int(np.ceil(q * len(xs))) - 1)])
             assert abs(est - true) <= 0.08 * true + 0.02, (et, q, est, true)
+
+
+def test_funnel_ordering_and_window_edges(spark, tmp_path):
+    """Ordered-sequence semantics pinned on synthetic events: a
+    purchase BEFORE the user's first qualifying click must not
+    complete the funnel, and a chain whose total span exceeds the
+    7-day window must not count as completed."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_funnel import (
+        ext_funnel_steps,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+
+    def us(days):
+        return int((t0 + days * 86400) * 1_000_000)
+
+    rows = [
+        # user 1: clean in-window chain -> completes
+        (1, us(0), 1, "signup"), (2, us(1), 1, "click"), (3, us(2), 1, "purchase"),
+        # user 2: purchase BEFORE its first post-signup click -> step 3
+        # never fires (the only purchase precedes the qualifying click)
+        (4, us(0), 2, "signup"), (5, us(1), 2, "purchase"), (6, us(2), 2, "click"),
+        # user 3: chain ordered but completes on day 8 -> outside window
+        (7, us(0), 3, "signup"), (8, us(1), 3, "click"), (9, us(8), 3, "purchase"),
+        # user 4: click but no signup -> never enters the funnel
+        (10, us(0), 4, "click"), (11, us(1), 4, "purchase"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in ext_funnel_steps(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "signup": 3,              # users 1, 2, 3
+        "click_after_signup": 3,  # users 1, 2, 3 all click after signup
+        "purchase_in_window": 1,  # only user 1 completes in order+window
+    }
