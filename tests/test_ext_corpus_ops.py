@@ -773,3 +773,41 @@ def test_funnel_ordering_and_window_edges(spark, tmp_path):
         "click_after_signup": 3,  # users 1, 2, 3 all click after signup
         "purchase_in_window": 1,  # only user 1 completes in order+window
     }
+
+
+def test_event_transitions_tie_break_on_event_id(spark, tmp_path):
+    """Two events with the SAME timestamp order by event_id — the
+    integer composite key that keeps both engines' lead() windows
+    agreeing. Pinned: a->b->c with b,c at identical ts yields a->b and
+    b->c (never a->c)."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_funnel import (
+        ext_event_transitions,
+    )
+
+    t0 = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    rows = [
+        (1, t0, 9, "signup"),
+        (2, t0 + 1_000_000, 9, "click"),     # same ts as event 3
+        (3, t0 + 1_000_000, 9, "purchase"),  # higher id -> later
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in ext_event_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {("signup", "click"): 1, ("click", "purchase"): 1}
