@@ -30,9 +30,10 @@ output is 3 rows, the retention matrix cohort × offset rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_spark_realtime_spark.functions import hashing as H
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
@@ -161,19 +162,64 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COOC_ORACLE = """
+#: skew guard: at most this many distinct items per user enter the pair
+#: expansion, so one bot/power user contributes at most C(256,2) ≈ 33k
+#: pairs instead of a quadratic blow-up inside a single join key. Picked
+#: by deterministic hash order (an unbiased draw both engines and every
+#: retry reproduce) — the quota is part of the operator's declared
+#: contract, mirrored in the oracle.
+COOC_MAX_ITEMS_PER_USER = 256
+
+COOC_ORACLE = f"""
 WITH ui AS (
   SELECT DISTINCT user_id,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS item
+         TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
   FROM events
   WHERE event_type IN ('click', 'view', 'purchase') AND props IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM ui
+  WHERE item IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY {{h}}, item
+  ) <= {COOC_MAX_ITEMS_PER_USER}
 )
 SELECT a.item AS item_a, b.item AS item_b,
        CAST(count(*) AS BIGINT) AS n_users
-FROM ui a JOIN ui b
+FROM capped a JOIN capped b
   ON a.user_id = b.user_id AND a.item < b.item
 GROUP BY a.item, b.item
-"""
+""".format(h=H.h32_sql("user_id::VARCHAR || ':' || item::VARCHAR"))
+
+
+def _cooc_capped_items(ev: DataFrame, cap: int) -> DataFrame:
+    """Distinct (user_id, item) pairs with the per-user skew quota
+    applied: keep the first `cap` items per user in deterministic
+    (md5-hash, item) order — the `ext_sample_source_cap` window shape."""
+    ui = (
+        ev.where(
+            F.col("event_type").isin("click", "view", "purchase")
+            & F.col("props").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    order = H.h32(
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("item").cast("string")
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy(order.asc(), F.col("item").asc())
+    return (
+        ui.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= cap)
+        .select("user_id", "item")
+    )
 
 
 @register("ext_item_cooccurrence", oracle=COOC_ORACLE)
@@ -186,28 +232,22 @@ def ext_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): distinct (user, item) happens once (one shuffle
     with map-side partials), then the pair expansion is a self
     equi-join ON THE USER KEY — pairs only ever materialize within a
-    user's own item set, so the blow-up is bounded by per-user
-    cardinality squared, not corpus size. Power users are the skew
-    risk: cap per-user items upstream (`ext_sample_source_cap`'s
-    quota-window shape) or let AQE's skew-join split the hot
-    partitions; the same guarded-bucket-pairs machinery the LSH path
-    uses (`plans/ext_dedup._bucket_pairs`) is the drop-in when user
-    cardinality is adversarial. The final (item_a, item_b) count
-    groupBy runs on item-pair-cardinality rows."""
+    user's own item set. That bound is quadratic in per-user item
+    cardinality, which AQE's skew split cannot cap (it splits
+    partitions, not the per-key blow-up), so the quota window above
+    (`COOC_MAX_ITEMS_PER_USER`, deterministic hash order) hard-bounds
+    any single user's contribution — the declared contract, mirrored in
+    the oracle and stress-tested with an adversarial power user in
+    tests/test_funnel_retention.py. The quota window itself shuffles
+    once on user_id with per-user-cardinality sort state; the final
+    (item_a, item_b) count groupBy runs on item-pair-cardinality
+    rows."""
     ev = load_table(spark, sf_dir, "events")
-    ui = (
-        ev.where(
-            F.col("event_type").isin("click", "view", "purchase")
-            & F.col("props").isNotNull()
-        )
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-        )
-        .distinct()
+    capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select(
+        F.col("user_id").alias("uid_b"), F.col("item").alias("item_b")
     )
-    a = ui.select("user_id", F.col("item").alias("item_a"))
-    b = ui.select(F.col("user_id").alias("uid_b"), F.col("item").alias("item_b"))
     return (
         a.join(
             b,
@@ -249,11 +289,58 @@ def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per day to keep per-user state from growing unboundedly —
     same plan with the date in the partition key."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy(
         F.unix_micros("ts"), "event_id"
     )
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+TRANSITIONS_DAILY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+           ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# registered by plans/ext_funnel_tail.py — this module sits INSIDE the
+# pinned round-9 gate window, so registering here would splice the
+# window (see registry._PLAN_MODULES)
+def ext_event_transitions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bounded variant of :func:`ext_event_transitions` — the
+    production profile the base query's docstring prescribes: the lead
+    window partitions by (user_id, event day), so transitions never
+    cross a day boundary and per-partition sort state is bounded by a
+    user's single-day event count, not their lifetime history.
+
+    Scale (100 TB): this is the variant to run on an unbounded event
+    log — the composite partition key keeps every window partition
+    small and lets partition pruning on the day column slice the scan
+    when the census is computed incrementally per day."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts"))
+    ).orderBy(F.unix_micros("ts"), "event_id")
     ordered = ev.select(
         "event_type",
         F.lead("event_type").over(w).alias("next_type"),

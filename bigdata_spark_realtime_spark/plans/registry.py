@@ -51,19 +51,42 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r8 window (exactly 50 queries): the 27 queries that had NO driver
-    # row after r5/r6/r7 (r7 was a no-op round — its window duplicated
-    # r6's). Leads with the round-6 tail modules (ext_quality×4,
-    # ext_semantic, ext_mixture×2, ext_pii, ext_lm, ext_substring,
-    # ext_tfidf, ext_order, ext_chunk, ext_profile×2, ext_curation3,
-    # ext_bm25, ext_hybrid, ext_sketch×2), then ext_media_tail (whose
-    # import of ext_multimodal re-registers the 3 r7-green base
-    # multimodal queries ahead of the 2 never-verified frames/resize),
-    # then streaming_queries (13: the 5 never-verified stream twins plus
-    # 8 r5-green rows). Import side effects counted in the window:
-    # ext_semantic imports ext_ivf (+1, r7-green). Remaining 11 slots
-    # fill with the head of r5's tpch block — the oldest driver rows.
-    # r5 ∪ r6 ∪ r8 = every oracle-bearing query driver-verified.
+    # r9 window (exactly 50 queries): the 26 round-8 additions that had
+    # NO driver row after r5/r6/r8 (precomputed + simulation-verified at
+    # the end of round 8 in plans/ROTATION_R9.md, deleted in the
+    # rotation commit). Import side effects counted in the window:
+    # ext_stream_tail imports ext_dsir/ext_embed/ext_sketch_tail at
+    # module level (pulling their registrations forward to its slot) and
+    # ext_sketch_tail imports ext_sketch (re-registering the r8-green
+    # hll/cms pair); ext_media_tail2 imports ext_multimodal, whose 3
+    # r8-green base queries register ahead of the shim's pair queries.
+    # Remaining slots fill with the head of r5's tpch block — the
+    # oldest driver rows. r5 ∪ r6 ∪ r8 ∪ r9 = every registered query
+    # driver-verified.
+    "bigdata_spark_realtime_spark.plans.ext_dsir",
+    "bigdata_spark_realtime_spark.plans.ext_bpe",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail",
+    "bigdata_spark_realtime_spark.plans.ext_embed",
+    "bigdata_spark_realtime_spark.plans.ext_vocab",
+    "bigdata_spark_realtime_spark.plans.ext_media_tail2",
+    "bigdata_spark_realtime_spark.plans.ext_rangejoin",
+    "bigdata_spark_realtime_spark.plans.ext_rollup",
+    "bigdata_spark_realtime_spark.plans.ext_sketch_tail",
+    "bigdata_spark_realtime_spark.plans.ext_funnel",
+    "bigdata_spark_realtime_spark.plans.tpch",
+    # below here every query is OUTSIDE the 50-slot gate window (tpch's
+    # tail spills past slot 50; these modules follow). All were
+    # driver-verified in r5/r6/r7/r8 and stay covered by both local
+    # oracle mirrors (tests/test_queries_oracle.py at sf0.001,
+    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
+    #
+    # ROUND-10 ROTATION PLAN: the oldest driver signals are the r5-era
+    # rows (transforms t1–t9, dedup d-family, aggregations, sort_limit,
+    # windows, analytic, sessionize, olap_extras, the streaming splits
+    # inside streaming_queries, and the tpch tail past slot 50) — plan
+    # the r10 window to lead with those modules so their rows refresh;
+    # same pin-update discipline (window list + targets + module order
+    # in ONE commit, verified in a fresh interpreter).
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -80,12 +103,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_sketch",
     "bigdata_spark_realtime_spark.plans.ext_media_tail",
     "bigdata_spark_realtime_spark.plans.streaming_queries",
-    "bigdata_spark_realtime_spark.plans.tpch",
-    # below here every query is OUTSIDE the 50-slot gate window
-    # (tpch's tail spills past slot 50; these modules follow). All were
-    # driver-verified in r5/r6/r7 and stay covered by both local oracle
-    # mirrors (tests/test_queries_oracle.py at sf0.001,
-    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     "bigdata_spark_realtime_spark.plans.scalar_fns",
     "bigdata_spark_realtime_spark.plans.serving",
     "bigdata_spark_realtime_spark.plans.joins",
@@ -107,41 +124,11 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    # new in round 8, registered AFTER the pinned window (splice rule):
+    # new in round 9, registered AFTER the pinned window (splice rule):
     # listed in tests/test_registry.PENDING_FIRST_DRIVER_ROW until a
-    # future rotation gives it a driver row; covered by both local
+    # future rotation gives them driver rows; covered by both local
     # oracle mirrors meanwhile.
-    #
-    # ROUND-9 ROTATION PLAN (execute FIRST thing next round, exactly
-    # like the r8 rotation): move these ten tail modules (26 queries:
-    # ext_dsir_select, ext_bpe_merges, stream_dsir_select,
-    # stream_embed_quantize, stream_embed_centroids,
-    # ext_embed_quantize_int8, ext_embed_centroids,
-    # ext_centroid_similarity, ext_kmeans_assign, ext_vocab_topk_lang,
-    # ext_vocab_coverage, ext_multimodal_phash_pairs,
-    # ext_multimodal_audiohash_pairs, ext_bpe_apply_merge,
-    # ext_multimodal_video_frames, ext_multimodal_scene_cuts,
-    # ext_range_join_attribution, ext_rollup_cascade,
-    # ext_hll_set_algebra, ext_quantile_sketch, stream_quantile_sketch,
-    # ext_funnel_steps, ext_retention_cohorts, ext_item_cooccurrence,
-    # ext_event_transitions, stream_rollup_cascade) to the FRONT of
-    # _PLAN_MODULES, fill the remaining 38 window slots with the
-    # oldest-verified r5 blocks (tpch head), update
-    # tests/test_registry.R8_WINDOW/R8_TARGETS/PENDING_FIRST_DRIVER_ROW
-    # in the SAME commit. Done = CORRECTNESS_r9 green rows for all 26,
-    # emptying PENDING_FIRST_DRIVER_ROW. (ext_media_tail2 imports
-    # ext_multimodal, whose 3 base queries register first wherever the
-    # shim lands — account for them when counting window slots.)
-    "bigdata_spark_realtime_spark.plans.ext_dsir",
-    "bigdata_spark_realtime_spark.plans.ext_bpe",
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail",
-    "bigdata_spark_realtime_spark.plans.ext_embed",
-    "bigdata_spark_realtime_spark.plans.ext_vocab",
-    "bigdata_spark_realtime_spark.plans.ext_media_tail2",
-    "bigdata_spark_realtime_spark.plans.ext_rangejoin",
-    "bigdata_spark_realtime_spark.plans.ext_rollup",
-    "bigdata_spark_realtime_spark.plans.ext_sketch_tail",
-    "bigdata_spark_realtime_spark.plans.ext_funnel",
+    "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
 )
 
 

@@ -811,3 +811,106 @@ def test_event_transitions_tie_break_on_event_id(spark, tmp_path):
         for r in ext_event_transitions(spark, str(tmp_path)).collect()
     }
     assert got == {("signup", "click"): 1, ("click", "purchase"): 1}
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, props)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+
+def test_cooccurrence_skew_guard_caps_adversarial_user(spark, tmp_path):
+    """One bot/power user with 1000 distinct items must contribute at
+    most C(cap, 2) pairs — the quadratic per-join-key blow-up AQE's
+    skew split cannot contain is hard-bounded by the quota window.
+    The capped item pick is deterministic hash order, so the DuckDB
+    oracle run on the same synthetic table selects the IDENTICAL
+    capped set (the cap path never triggers at the gate scale factors,
+    so cross-engine agreement is pinned here)."""
+    import duckdb
+
+    from bigdata_spark_realtime_spark.plans.ext_funnel import (
+        COOC_MAX_ITEMS_PER_USER,
+        COOC_ORACLE,
+        ext_item_cooccurrence,
+    )
+    from oracle_util import assert_matches_oracle
+
+    t0 = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    # adversarial user 1: 1000 distinct items (all > cap)
+    for i in range(1000):
+        eid += 1
+        rows.append((eid, t0 + eid, 1, "click", '{"k": %d}' % (10_000 + i)))
+    # normal user 2: 3 items -> 3 pairs, disjoint item ids
+    for i in range(3):
+        eid += 1
+        rows.append((eid, t0 + eid, 2, "view", '{"k": %d}' % (50_000 + i)))
+    _write_events(tmp_path, rows)
+
+    out = ext_item_cooccurrence(spark, str(tmp_path))
+    cap_pairs = COOC_MAX_ITEMS_PER_USER * (COOC_MAX_ITEMS_PER_USER - 1) // 2
+    got = out.collect()
+    assert len(got) == cap_pairs + 3
+    assert all(r["n_users"] == 1 for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert_matches_oracle(out, con, COOC_ORACLE)
+
+
+def test_event_transitions_daily_respects_day_boundary(spark, tmp_path):
+    """The day-bounded production variant must NOT count a transition
+    that crosses midnight; the base variant must. Same user, two events
+    23:59 and 00:01 the next day."""
+    from datetime import datetime, timezone
+
+    from bigdata_spark_realtime_spark.plans.ext_funnel import (
+        ext_event_transitions,
+        ext_event_transitions_daily,
+    )
+
+    def us(d, h, m):
+        return int(
+            datetime(2024, 1, d, h, m, tzinfo=timezone.utc).timestamp()
+            * 1_000_000
+        )
+
+    rows = [
+        (1, us(1, 23, 50), 7, "click", "{}"),
+        (2, us(1, 23, 59), 7, "view", "{}"),     # same-day: both count it
+        (3, us(2, 0, 1), 7, "purchase", "{}"),   # crosses midnight
+        (4, us(2, 0, 5), 7, "click", "{}"),      # same-day on day 2
+    ]
+    _write_events(tmp_path, rows)
+
+    base = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in ext_event_transitions(spark, str(tmp_path)).collect()
+    }
+    daily = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in ext_event_transitions_daily(spark, str(tmp_path)).collect()
+    }
+    assert base == {
+        ("click", "view"): 1,
+        ("view", "purchase"): 1,
+        ("purchase", "click"): 1,
+    }
+    assert daily == {("click", "view"): 1, ("purchase", "click"): 1}

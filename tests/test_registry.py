@@ -34,10 +34,14 @@ EXPECTED_PER_MODULE = {
     "ext_multimodal": 9,
     "ext_media_tail": 0,
     "ext_media_tail2": 0,
+    # transitions_daily is DEFINED in ext_funnel (fn.__module__ counts
+    # it there) but REGISTERED by the ext_funnel_tail shim so it lands
+    # after the pinned round-9 gate window
+    "ext_funnel_tail": 0,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
-    "ext_funnel": 4,
+    "ext_funnel": 5,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -69,97 +73,67 @@ EXPECTED_PER_MODULE = {
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; the NEXT rotation must move them into
-#: the window and empty this set.
-PENDING_FIRST_DRIVER_ROW = {
-    "ext_dsir_select",
-    "stream_dsir_select",
-    "ext_bpe_merges",
-    "ext_embed_quantize_int8",
-    "ext_embed_centroids",
-    "ext_centroid_similarity",
-    "ext_kmeans_assign",
-    "ext_vocab_topk_lang",
-    "stream_embed_quantize",
-    "stream_embed_centroids",
-    "ext_vocab_coverage",
-    "ext_multimodal_phash_pairs",
-    "ext_multimodal_audiohash_pairs",
-    "ext_bpe_apply_merge",
-    "ext_multimodal_video_frames",
-    "ext_multimodal_scene_cuts",
-    "ext_range_join_attribution",
-    "ext_rollup_cascade",
-    "ext_hll_set_algebra",
-    "ext_quantile_sketch",
-    "stream_quantile_sketch",
-    "ext_funnel_steps",
-    "ext_retention_cohorts",
-    "ext_item_cooccurrence",
-    "ext_event_transitions",
-    "stream_rollup_cascade",
+#: the window and empty this set. Emptied by the executed R9 rotation —
+#: new round-9 queries go here (registered via a tail module).
+PENDING_FIRST_DRIVER_ROW: set[str] = {
+    "ext_event_transitions_daily",
 }
 
-#: The exact first-50 registration window the round-8 external
-#: correctness gate sees: all 27 queries that had no driver row after
-#: r5/r6/r7 (r7 duplicated r6's window — a no-op round), plus 23
-#: already-green fillers dragged in by module import order.
-#: r5 ∪ r6 ∪ r8 = every registered query driver-verified.
+#: The exact first-50 registration window the round-9 external
+#: correctness gate sees: all 26 round-8 additions that had no driver
+#: row after r5/r6/r8, plus 24 already-green fillers dragged in by
+#: module import order (ext_stream_tail pulls ext_dsir / ext_embed /
+#: ext_sketch_tail registrations forward; ext_sketch_tail pulls
+#: ext_sketch's r8-green hll/cms; ext_media_tail2 pulls
+#: ext_multimodal's 3 base queries; tpch head fills the rest).
+#: r5 ∪ r6 ∪ r8 ∪ r9 = every registered query driver-verified.
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R8_WINDOW = [
-    # ext_quality (its imports drag in ext_decontam + ext_sampling +
-    # curation helpers first)
-    "ext_text_repetition", "ext_decontaminate", "ext_sample_stratified",
-    "ext_curation_pipeline", "ext_sample_source_cap", "ext_curation_full",
-    "ext_text_boilerplate_ngrams", "ext_quality_classifier",
-    # ext_semantic (imports ext_ivf first)
-    "ext_ann_ivf_topk", "ext_dedup_semantic",
-    # ext_mixture / ext_pii / ext_lm / ext_substring / ext_tfidf
-    "ext_mixture_weights", "ext_mixture_resample", "ext_pii_redact",
-    "ext_lm_score", "ext_dedup_substring", "ext_text_tfidf",
-    # ext_order / ext_chunk / ext_profile
-    "ext_train_order", "ext_chunk_windows", "ext_corpus_profile",
-    "ext_source_overlap",
-    # ext_curation3 / ext_bm25 / ext_hybrid / ext_sketch
-    "ext_curation_scored", "ext_bm25_search", "ext_hybrid_search",
-    "ext_hll_distinct", "ext_cms_freq",
-    # ext_media_tail (imports ext_multimodal: base 3 register first,
-    # then the shim registers the never-verified frames/resize)
-    "ext_multimodal_meta", "ext_multimodal_decode", "ext_multimodal_features",
-    "ext_multimodal_frames", "ext_multimodal_resize",
-    # streaming_queries (its imports drag in ext_dedup mid-module)
-    "stream_windowed_counts", "stream_dedup_dau_keys",
-    "stream_order_wide_join", "stream_base_log_split",
-    "stream_sessionize_gap", "stream_order_outer_orphans",
-    "stream_cdc_routing", "stream_stratified_sample", "stream_decontaminate",
-    "ext_dedup_exact", "ext_dedup_minhash_lsh", "ext_dedup_resolve",
-    "ext_dedup_ngram_jaccard", "ext_dedup_simhash", "ext_dedup_embedding",
-    "ext_dedup_simhash_pairs",
-    "stream_dedup_minhash", "stream_lm_bucket", "stream_hll_distinct",
-    "stream_cms_freq",
+R9_WINDOW = [
+    "ext_dsir_select", "ext_bpe_merges", "ext_bpe_apply_merge",
+    "ext_embed_quantize_int8", "ext_embed_centroids", "ext_kmeans_assign",
+    "ext_centroid_similarity", "ext_hll_distinct", "ext_cms_freq",
+    "ext_hll_set_algebra", "ext_quantile_sketch", "stream_dsir_select",
+    "stream_embed_quantize", "stream_embed_centroids",
+    "stream_quantile_sketch", "ext_rollup_cascade", "stream_rollup_cascade",
+    "ext_vocab_topk_lang", "ext_vocab_coverage", "ext_multimodal_meta",
+    "ext_multimodal_decode", "ext_multimodal_features",
+    "ext_multimodal_phash_pairs", "ext_multimodal_audiohash_pairs",
+    "ext_multimodal_video_frames", "ext_multimodal_scene_cuts",
+    "ext_range_join_attribution", "ext_funnel_steps",
+    "ext_retention_cohorts", "ext_item_cooccurrence",
+    "ext_event_transitions", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast", "q10_returned_items",
+    "q14_promo_revenue", "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates", "q18_large_volume_customer",
+    "q4_priority_exists", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_cnt", "q22_sales_opportunity", "q20_dominant_supplier",
+    "q11_important_value_share",
 ]
 
-#: the 27 rows this window exists to verify (never driver-checked in
-#: r5/r6/r7) — asserted as a subset so a future splice can't silently
+#: the 26 rows this window exists to verify (never driver-checked in
+#: r5/r6/r8) — asserted as a subset so a future splice can't silently
 #: evict one while keeping the list length at 50
-R8_TARGETS = {
-    "ext_text_repetition", "ext_text_boilerplate_ngrams",
-    "ext_quality_classifier", "ext_curation_full", "ext_dedup_semantic",
-    "ext_mixture_weights", "ext_mixture_resample", "ext_pii_redact",
-    "ext_lm_score", "ext_dedup_substring", "ext_text_tfidf",
-    "ext_train_order", "ext_chunk_windows", "ext_corpus_profile",
-    "ext_source_overlap", "ext_curation_scored", "ext_bm25_search",
-    "ext_hybrid_search", "ext_hll_distinct", "ext_cms_freq",
-    "ext_multimodal_frames", "ext_multimodal_resize",
-    "stream_decontaminate", "stream_dedup_minhash", "stream_lm_bucket",
-    "stream_hll_distinct", "stream_cms_freq",
+R9_TARGETS = {
+    "ext_dsir_select", "stream_dsir_select", "ext_bpe_merges",
+    "ext_bpe_apply_merge", "ext_embed_quantize_int8", "ext_embed_centroids",
+    "ext_centroid_similarity", "ext_kmeans_assign", "ext_vocab_topk_lang",
+    "ext_vocab_coverage", "stream_embed_quantize", "stream_embed_centroids",
+    "stream_quantile_sketch", "stream_rollup_cascade",
+    "ext_multimodal_phash_pairs", "ext_multimodal_audiohash_pairs",
+    "ext_multimodal_video_frames", "ext_multimodal_scene_cuts",
+    "ext_range_join_attribution", "ext_rollup_cascade",
+    "ext_hll_set_algebra", "ext_quantile_sketch", "ext_funnel_steps",
+    "ext_retention_cohorts", "ext_item_cooccurrence",
+    "ext_event_transitions",
 }
 
 
-def test_r8_gate_window_is_pinned():
+def test_r9_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r8 window, in order.
+    must be exactly the planned r9 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -170,9 +144,9 @@ def test_r8_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R8_WINDOW) == 50
-    assert len(R8_TARGETS) == 27
-    assert R8_TARGETS <= set(R8_WINDOW)
+    assert len(R9_WINDOW) == 50
+    assert len(R9_TARGETS) == 26
+    assert R9_TARGETS <= set(R9_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -186,7 +160,7 @@ def test_r8_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R8_WINDOW
+    assert got == R9_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -251,7 +225,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R8_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R9_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
