@@ -74,6 +74,15 @@ HEADLINE: tuple[str, ...] = (
     "ext_curation_scored",      # fused classifier+LM kernel -> span hygiene -> dedup
     "ext_bm25_search",          # broadcast query terms, int64 BM25, rank window
     "ext_dsir_select",          # fixed-size hashed-ngram importance model + map-side scoring
+    # round-9 additions: the r8 operator families (judge task #7)
+    "ext_multimodal_phash_pairs",   # PNG decode + 64-bit pHash + band blocking
+    "ext_rollup_cascade",           # daily grain re-aggregates hourly partials
+    "ext_quantile_sketch",          # integer DDSketch-style bucket histogram
+    "ext_funnel_steps",             # staged conditional-min funnel aggs
+    "ext_range_join_attribution",   # hour-bucket-blocked interval join
+    "ext_item_cooccurrence",        # quota-capped per-user pair expansion
+    "ext_hll_set_algebra",          # register-max union + inclusion-exclusion state
+    "ext_embed_quantize_int8",      # exact fixed-point int8 embedding quantize
 )
 
 

@@ -51,7 +51,12 @@ def scoped_persist(df: DataFrame, scope: str, keep: int = 2) -> DataFrame:
     the builder cannot unpersist after its own action (there is none
     yet), so instead each invocation evicts the PREVIOUS invocation's
     persisted frames for the same ``scope``. ``keep`` is the number of
-    frames one invocation registers (nothing live is ever evicted).
+    frames one invocation registers. Guarantee: the previous
+    invocation's frames always survive until the next invocation;
+    OLDER generations may be unpersisted while still referenced by an
+    unevaluated plan (e.g. plans built from three invocations of one
+    scope before any is evaluated), which silently recomputes — slower,
+    never wrong.
     """
     frames = _SCOPED_PERSISTS.setdefault(scope, [])
     while len(frames) >= 2 * keep:

@@ -14,10 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdata_spark_realtime_spark.plans.registry import register
 
 
-# NOTE: these oracle imports run at module-import time, which is fine:
-# every sibling module sits EARLIER in registry._PLAN_MODULES, so its
-# queries are already registered before this shim loads (and importing
-# an already-imported module is a no-op for registration order).
+# NOTE: these oracle imports run at module-import time. For any sibling
+# listed AFTER this shim in registry._PLAN_MODULES (ext_embed,
+# ext_sketch_tail in the r9 order), the import PULLS that module's
+# registrations forward to THIS shim's position — so the effective
+# registration order follows the import graph, not the _PLAN_MODULES
+# text order. Window rotations must count slots against the effective
+# order (assert the first-50 list in a fresh interpreter, as
+# tests/test_registry.py does), never against the module list alone.
 from bigdata_spark_realtime_spark.plans.ext_dsir import DSIR_ORACLE
 from bigdata_spark_realtime_spark.plans.ext_embed import (
     CENTROIDS_ORACLE,

@@ -1,17 +1,42 @@
 """OLAP breadth: rollup hierarchies and approximate aggregates.
 
 Rollup/cube don't exist in the reference (SURVEY.md §2.7: "no grouping
-sets / rollup / cube") — engine-native extras. Approximate aggregates
-(HLL distinct, quantile sketches) are the standard scale substitutes for
-exact distinct counts; their sketches differ per engine, so the gate
-entry is rows-only and the accuracy bound is asserted in tests.
+sets / rollup / cube") — engine-native extras.
+
+`approx_aggregates` is the user-facing approximate-aggregates surface
+(distinct users + median value per event type). Through round 8 it
+wrapped Spark's built-in approx_count_distinct / percentile_approx,
+whose sketch state is engine-internal — the registry's only rows-only
+gate entry. Round 9 rebased it on the engine's OWN deterministic
+sketches (the HLL of plans/ext_sketch.py and the DDSketch-style
+integer-bucket histogram of plans/ext_sketch_tail.py), so the
+estimates themselves are now bit-exact cross-engine and the gate entry
+is hash-checked like every other query:
+
+- approx_users: the HLL harmonic estimate ``α·m²·2^S / sum_scaled``
+  evaluated as ONE double division of a shared literal numerator by
+  the integer register state (identical int64 → double conversion and
+  one IEEE op ⇒ bit-identical in both engines), floored to an integer;
+  the small-range linear-counting branch ``m·ln(m/V)`` is a 255-entry
+  precomputed integer literal table indexed by the zero-register count
+  (V ∈ 1..255), so no runtime ``ln`` is ever taken.
+- approx_median_value: the midpoint of the quantile-sketch bucket
+  holding the rank-⌈n/2⌉ value — bucket choice is pure integer
+  (2·cum ≥ total over the cumulative bucket counts), the midpoint is
+  one double division of an integer by 200.0.
+
+Accuracy vs exact (±5%) stays pinned in tests/test_olap_extras.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_spark_realtime_spark.functions import hashing as H
+from bigdata_spark_realtime_spark.plans.ext_sketch import M, S
 from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
@@ -45,13 +70,181 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates")
+#: HLL numerator α·m²·2^S as a shared float64 literal — repr round-trips
+#: exactly, so both engines parse the identical double and the single
+#: division below is bit-identical
+_HLL_NUM = 0.7213 / (1 + 1.079 / M) * M * M * float(1 << S)
+#: linear counting applies when raw ≤ 2.5·m ⇔ sum_scaled ≥ NUM/(2.5·m);
+#: the integer threshold keeps the branch condition float-free
+_LC_THRESH = math.ceil(_HLL_NUM / (2.5 * M))
+#: ⌊m·ln(m/V)⌋ for V = 1..255 — pure literal data (no runtime ln)
+_LC_TABLE = tuple(int(math.floor(M * math.log(M / v))) for v in range(1, M))
+
+_LC_LIST_SQL = "[" + ", ".join(str(v) for v in _LC_TABLE) + "]"
+
+APPROX_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {H.h32_sql("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type,
+         hv % {M} AS bucket,
+         CASE WHEN hv // {M} = 0 THEN 25
+              ELSE 25 - length(bin(hv // {M})) END AS rank
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rank) AS reg
+  FROM ranked GROUP BY event_type, bucket
+),
+st AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << ({S} - reg))
+              + ({M} - count(*)) * (1::BIGINT << {S}) AS BIGINT)
+           AS sum_scaled,
+         count(*) AS nonzero
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN sum_scaled >= {_LC_THRESH} AND nonzero < {M}
+              THEN CAST(list_extract({_LC_LIST_SQL}, {M} - nonzero) AS BIGINT)
+              ELSE CAST(floor({_HLL_NUM!r} / sum_scaled) AS BIGINT)
+         END AS approx_users
+  FROM st
+),
+v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v100
+  FROM events WHERE value > 0
+),
+keyed AS (
+  SELECT event_type,
+         CASE WHEN v100 < 8 THEN v100
+              ELSE (length(bin(v100)) << 3)
+                   | (v100 >> (length(bin(v100)) - 3)) END AS bkt
+  FROM v
+),
+qs AS (
+  SELECT event_type, bkt, count(*) AS ct
+  FROM keyed GROUP BY event_type, bkt
+),
+cum AS (
+  SELECT event_type, bkt,
+         sum(ct) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         sum(ct) OVER (PARTITION BY event_type) AS total
+  FROM qs
+),
+med AS (
+  SELECT event_type, min(bkt) AS mbkt
+  FROM cum WHERE 2 * cum >= total GROUP BY event_type
+),
+mv AS (
+  SELECT event_type,
+         CASE WHEN mbkt < 8 THEN 2 * mbkt + 1
+              ELSE (2 * (mbkt & 7) + 1) << ((mbkt >> 3) - 3)
+         END AS m2
+  FROM med
+)
+SELECT est.event_type, est.approx_users,
+       CAST(mv.m2 AS DOUBLE) / 200.0 AS approx_median_value
+FROM est LEFT JOIN mv USING (event_type)
+"""
+
+
+@register("approx_aggregates", oracle=APPROX_ORACLE)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct + quantile sketch per event_type. Rows-only in the
-    gate (sketch algorithms are engine-specific by nature); the ≤5%
-    error bound vs exact is asserted in tests/test_olap_extras.py."""
+    """Approximate distinct users + median value per event type, from
+    the engine's own deterministic sketches (see module doc): HLL
+    registers → one shared-literal double division (with the
+    linear-counting literal table for the small range); quantile-sketch
+    buckets → integer median-bucket walk → one double division.
+
+    Scale (100 TB): both sketch builds are the canonical shape — one
+    (group, bucket) shuffle with map-side partials, state bounded by
+    registers × groups regardless of corpus size; the estimate
+    derivation runs on sketch-sized rows. Replaces the round-8 wrapper
+    over Spark's approx_count_distinct/percentile_approx, whose
+    engine-internal state forced a rows-only gate check."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+
+    # --- HLL distinct-users estimate (register build mirrors
+    # plans/ext_sketch.ext_hll_distinct) ---
+    hv = H.h32(F.col("user_id").cast("string"))
+    w = F.expr(f"hv DIV {M}")
+    rank = F.when(w == 0, 25).otherwise(25 - F.length(F.bin(w)))
+    ranked = ev.select("event_type", hv.alias("hv")).select(
+        "event_type", F.expr(f"hv % {M}").alias("bucket"), rank.alias("rank")
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(F.max("rank").alias("reg"))
+    st = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - reg)"))
+            + (M - F.count(F.lit(1))) * F.lit(1 << S)
+        ).cast("bigint").alias("sum_scaled"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    lc_arr = F.array(*[F.lit(v) for v in _LC_TABLE])
+    est = st.select(
+        "event_type",
+        F.when(
+            (F.col("sum_scaled") >= _LC_THRESH) & (F.col("nonzero") < M),
+            F.element_at(lc_arr, (F.lit(M) - F.col("nonzero")).cast("int")),
+        )
+        .otherwise(F.floor(F.lit(_HLL_NUM) / F.col("sum_scaled")))
+        .cast("bigint")
+        .alias("approx_users"),
+    )
+
+    # --- quantile-sketch median (bucket build mirrors
+    # plans/ext_sketch_tail.ext_quantile_sketch) ---
+    cents = ev.where(F.col("value") > 0).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    octave_key = F.expr(
+        "shiftleft(CAST(length(bin(v100)) AS BIGINT), 3)"
+        " | shiftright(v100, length(bin(v100)) - 3)"
+    )
+    qs = (
+        cents.select(
+            "event_type",
+            F.when(F.col("v100") < 8, F.col("v100"))
+            .otherwise(octave_key)
+            .cast("bigint")
+            .alias("bkt"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bkt")
+    wtot = Window.partitionBy("event_type")
+    cum = qs.select(
+        "event_type",
+        "bkt",
+        F.sum("ct").over(wcum).alias("cum"),
+        F.sum("ct").over(wtot).alias("total"),
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min("bkt").alias("mbkt"))
+    )
+    mv = med.select(
+        "event_type",
+        F.when(F.col("mbkt") < 8, 2 * F.col("mbkt") + 1)
+        .otherwise(
+            F.expr(
+                "shiftleft(2 * (mbkt & 7) + 1, CAST((mbkt >> 3) - 3 AS INT))"
+            )
+        )
+        .alias("m2"),
+    )
+    return est.join(mv, "event_type", "left").select(
+        "event_type",
+        "approx_users",
+        (F.col("m2").cast("double") / F.lit(200.0)).alias(
+            "approx_median_value"
+        ),
     )

@@ -77,6 +77,10 @@ EXPECTED_PER_MODULE = {
 #: new round-9 queries go here (registered via a tail module).
 PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_event_transitions_daily",
+    # rebased rows-only → oracled in round 9 (deterministic sketch
+    # estimates); its r6/r7 driver rows were no_oracle, so the hash
+    # itself has never been driver-checked — rotate it in for r10
+    "approx_aggregates",
 }
 
 #: The exact first-50 registration window the round-9 external
