@@ -129,6 +129,9 @@ _PLAN_MODULES = (
     # future rotation gives them driver rows; covered by both local
     # oracle mirrors meanwhile.
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
+    "bigdata_spark_realtime_spark.plans.ext_attrib",
+    "bigdata_spark_realtime_spark.plans.ext_snapshot",
+    "bigdata_spark_realtime_spark.plans.ext_sketch_window",
 )
 
 

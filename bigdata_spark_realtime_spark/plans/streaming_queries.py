@@ -941,3 +941,57 @@ def stream_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(F.broadcast(est), "token").select(
         "token", "est_count", "exact_count"
     )
+
+
+def _retention_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_funnel import RETENTION_ORACLE
+
+    return RETENTION_ORACLE
+
+
+@register("stream_retention_cohorts", oracle=_retention_oracle())
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts as continuous intake — the live product-
+    analytics shape: the distinct (user, activity-day) set accumulates
+    in Spark's state store (a groupBy count in complete mode is the
+    streaming DISTINCT — the count itself is discarded), then the
+    cohort derivation (first-seen day per user) and the cohort ×
+    day-offset matrix run batch-side on the drained user×day frame,
+    exactly like plans/ext_funnel.ext_retention_cohorts. Raw events
+    are never re-scanned after intake.
+
+    Scale (100 TB): state is one row per distinct (user, day) — the
+    same cardinality ANY retention computation must materialize, kept
+    incrementally instead of re-derived per report; production bounds
+    it with a watermark-driven retention horizon (e.g. 90 days), which
+    drops state exactly as the cohort window slides. The post-drain
+    matrix runs on user-cardinality rows. Any micro-batch arrival
+    order yields the same distinct set, so the result hash-matches the
+    batch oracle."""
+    ev = _events_stream(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "event_time")).alias("day"),
+    )
+    distinct_state = days.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("_seen")
+    )
+    drained = _drain_to_memory(
+        distinct_state, spark, output_mode="complete"
+    ).select("user_id", "day")
+    # rename the grouping key: both sides descend from the same drained
+    # memory-sink frame, and Spark rejects the ambiguous self-join on a
+    # shared attribute id
+    cohort = (
+        drained.groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .withColumnRenamed("user_id", "cohort_user")
+    )
+    return (
+        drained.join(cohort, F.col("user_id") == F.col("cohort_user"))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

