@@ -132,6 +132,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_attrib",
     "bigdata_spark_realtime_spark.plans.ext_snapshot",
     "bigdata_spark_realtime_spark.plans.ext_sketch_window",
+    "bigdata_spark_realtime_spark.plans.ext_colloc",
+    "bigdata_spark_realtime_spark.plans.ext_skewcheck",
 )
 
 

@@ -995,3 +995,80 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def _snapshot_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_snapshot import (
+        SNAPSHOT_DIFF_ORACLE,
+    )
+
+    return SNAPSHOT_DIFF_ORACLE
+
+
+@register("stream_snapshot_diff", oracle=_snapshot_oracle())
+def stream_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot diff as continuous intake — live CDC recovery: the
+    state store maintains each user's LATEST event as
+    ``max(struct(us, event_id, event_type, value))`` (lexicographic
+    struct max over the integer composite order — associative and
+    order-independent, so any micro-batch arrival order converges to
+    the same last-write-wins state; the same composite the batch
+    operator ranks by). The diff against the 60%-span batch snapshot
+    then runs on the drained user-cardinality frame, exactly like
+    plans/ext_snapshot.ext_snapshot_diff.
+
+    Scale (100 TB): state is ONE struct per user key — the minimal
+    state any last-write-wins view needs (same as the reference's
+    Redis DAU state, SURVEY §2.5), merged not appended; the historical
+    snapshot enters once as a batch side. Oracle = the batch SQL."""
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("event_time").alias("us"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ).alias("st"),
+    )
+    latest = ev.groupBy("user_id").agg(F.max("st").alias("st"))
+    drained = _drain_to_memory(latest, spark, output_mode="complete")
+    s2 = drained.select(
+        "user_id",
+        F.col("st.event_type").alias("new_type"),
+        F.col("st.value").alias("new_value"),
+    )
+
+    from bigdata_spark_realtime_spark.plans.ext_snapshot import _state_at
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    evb = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    span = evb.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).select(
+        (F.col("lo") + F.expr("(hi - lo) * 6 DIV 10")).alias("t1")
+    )
+    s1 = _state_at(evb.crossJoin(F.broadcast(span)), "t1").select(
+        F.col("user_id").alias("old_user"),
+        F.col("event_type").alias("old_type"),
+        F.col("value").alias("old_value"),
+    )
+    return (
+        s2.join(s1, F.col("user_id") == F.col("old_user"), "left")
+        .where(
+            F.col("old_type").isNull()
+            | (F.col("old_type") != F.col("new_type"))
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("old_type").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "old_type",
+            "new_type",
+            "old_value",
+            "new_value",
+        )
+    )

@@ -1014,3 +1014,44 @@ def test_hll_hourly_rollup_merge_is_lossless(spark, sf_dir):
         for h in by_day[(d["period"], d["event_type"])]:
             assert d["nonzero"] >= h["nonzero"]
             assert d["sum_scaled"] <= h["sum_scaled"]
+
+
+def test_bigram_pmi_lift_and_floor(spark, tmp_path):
+    """Planted corpus: a bigram that always co-occurs ('new york' shape)
+    outranks a popular-parts bigram; pairs under the count floor never
+    rank; single-token docs contribute no bigrams."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_colloc import (
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+        ext_bigram_pmi,
+    )
+
+    docs = (
+        ["aa bb"] * PMI_MIN_COUNT          # exclusive pair: lift = N/c²
+        + ["cc dd", "dd cc", "cc ee", "dd ee", "ee cc"]  # mixed pairs
+        + ["ff"]                            # single token: no bigrams
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = ext_bigram_pmi(spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]): (r["cab"], r["lift_q"]) for r in rows}
+    n_tokens = 2 * PMI_MIN_COUNT + 10 + 1
+    # the exclusive pair: c(aa)=c(bb)=cab=PMI_MIN_COUNT
+    assert got == {
+        ("aa", "bb"): (
+            PMI_MIN_COUNT,
+            PMI_SCALE * PMI_MIN_COUNT * n_tokens
+            // (PMI_MIN_COUNT * PMI_MIN_COUNT),
+        )
+    }

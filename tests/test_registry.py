@@ -41,6 +41,8 @@ EXPECTED_PER_MODULE = {
     "ext_attrib": 1,
     "ext_snapshot": 1,
     "ext_sketch_window": 1,
+    "ext_colloc": 1,
+    "ext_skewcheck": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -70,7 +72,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail": 5,
     "ext_embed": 4,
     "ext_vocab": 2,
-    "streaming_queries": 14,
+    "streaming_queries": 15,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -88,6 +90,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_snapshot_diff",
     "ext_hll_hourly_rollup",
     "stream_retention_cohorts",
+    "stream_snapshot_diff",
+    "ext_bigram_pmi",
+    "ext_skew_audit",
 }
 
 #: The exact first-50 registration window the round-9 external
