@@ -170,8 +170,12 @@ def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: contract, mirrored in the oracle.
 COOC_MAX_ITEMS_PER_USER = 256
 
-COOC_ORACLE = f"""
-WITH ui AS (
+#: the quota-capped distinct (user, item) CTEs — shared verbatim by the
+#: co-occurrence oracle and the co-visitation graph oracles
+#: (plans/ext_graphrank.py) so both engines' graphs derive from the
+#: identical capped set
+COOC_CAPPED_CTE = """
+ui AS (
   SELECT DISTINCT user_id,
          TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item
   FROM events
@@ -182,15 +186,22 @@ capped AS (
   WHERE item IS NOT NULL
   QUALIFY row_number() OVER (
     PARTITION BY user_id
-    ORDER BY {{h}}, item
-  ) <= {COOC_MAX_ITEMS_PER_USER}
+    ORDER BY {h}, item
+  ) <= {cap}
 )
+""".format(
+    h=H.h32_sql("user_id::VARCHAR || ':' || item::VARCHAR"),
+    cap=COOC_MAX_ITEMS_PER_USER,
+)
+
+COOC_ORACLE = f"""
+WITH {COOC_CAPPED_CTE}
 SELECT a.item AS item_a, b.item AS item_b,
        CAST(count(*) AS BIGINT) AS n_users
 FROM capped a JOIN capped b
   ON a.user_id = b.user_id AND a.item < b.item
 GROUP BY a.item, b.item
-""".format(h=H.h32_sql("user_id::VARCHAR || ':' || item::VARCHAR"))
+"""
 
 
 def _cooc_capped_items(ev: DataFrame, cap: int) -> DataFrame:

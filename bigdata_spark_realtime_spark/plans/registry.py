@@ -134,6 +134,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_sketch_window",
     "bigdata_spark_realtime_spark.plans.ext_colloc",
     "bigdata_spark_realtime_spark.plans.ext_skewcheck",
+    "bigdata_spark_realtime_spark.plans.ext_graphrank",
 )
 
 

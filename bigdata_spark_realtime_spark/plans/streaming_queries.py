@@ -1072,3 +1072,89 @@ def stream_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_value",
         )
     )
+
+
+def _multitouch_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_attrib import (
+        MULTITOUCH_ORACLE,
+    )
+
+    return MULTITOUCH_ORACLE
+
+
+@register("stream_multitouch_attribution", oracle=_multitouch_oracle())
+def stream_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution as continuous intake — the canonical
+    Structured Streaming STREAM-STREAM INTERVAL JOIN (the reference's
+    J4 24 h-TTL join generalized to an event-time range predicate):
+    the click and purchase streams join on user plus
+    ``purchase_time ∈ (click_time, click_time + 1h]`` with 1-hour
+    watermarks on both sides, so Spark's join state holds exactly one
+    window's worth of each stream and evicts it as the watermark
+    passes — the state bound IS the attribution window. Matched pairs
+    append as they arrive (inner-join results never wait on the
+    watermark); the per-purchase credit split and per-click totals run
+    batch-side on the drained pair frame exactly like
+    plans/ext_attrib.ext_multitouch_attribution. Oracle = the batch
+    SQL."""
+    from pyspark.sql import Window
+
+    from bigdata_spark_realtime_spark.plans.ext_attrib import CREDIT_SCALE
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_time") > F.col("c_time"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+    drained = _drain_to_memory(pairs, spark)
+
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credit = (
+        drained.withColumn("n_touch", n_touch)
+        .groupBy("click_id")
+        .agg(
+            F.sum(F.expr(f"{CREDIT_SCALE} DIV n_touch"))
+            .cast("bigint")
+            .alias("credit_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        )
+    )
+    all_clicks = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"))
+    )
+    return (
+        all_clicks.join(credit, "click_id", "left")
+        .select(
+            "click_id",
+            F.coalesce("credit_ppm", F.lit(0)).cast("bigint").alias(
+                "credit_ppm"
+            ),
+            F.coalesce("n_conversions", F.lit(0)).cast("bigint").alias(
+                "n_conversions"
+            ),
+        )
+    )

@@ -53,6 +53,15 @@ SMOKE_QUERIES = (
     "ext_item_cooccurrence",
     "ext_quantile_sketch",
     "ext_hll_set_algebra",
+    # round-9 additions
+    "ext_multitouch_attribution",
+    "ext_snapshot_diff",
+    "ext_hll_hourly_rollup",
+    "ext_bigram_pmi",
+    "ext_skew_audit",
+    "ext_item_pagerank",
+    "ext_event_transitions_daily",
+    "approx_aggregates",
 )
 
 

@@ -1055,3 +1055,35 @@ def test_bigram_pmi_lift_and_floor(spark, tmp_path):
             // (PMI_MIN_COUNT * PMI_MIN_COUNT),
         )
     }
+
+
+def test_item_pagerank_star_graph(spark, tmp_path):
+    """Planted star: hub item co-viewed with 4 leaves (one user per
+    spoke). After any number of damped iterations the hub must outrank
+    every leaf; values must equal the hand-run integer recurrence."""
+    from bigdata_spark_realtime_spark.plans.ext_graphrank import (
+        N_ITERS,
+        RANK_SCALE,
+        ext_item_pagerank,
+    )
+
+    t0 = 1_700_000_000_000_000
+    rows, eid = [], 0
+    for u, leaf in enumerate((101, 102, 103, 104), start=1):
+        for item in (100, leaf):  # user u co-views hub 100 and its leaf
+            eid += 1
+            rows.append((eid, t0 + eid, u, "view", '{"k": %d}' % item))
+    _write_events(tmp_path, rows)
+    got = {
+        r["item"]: r["rank_q"]
+        for r in ext_item_pagerank(spark, str(tmp_path)).collect()
+    }
+    # hand-run the integer recurrence: deg(hub)=4, deg(leaf)=1
+    base = 15 * RANK_SCALE // 100
+    hub, leaf = RANK_SCALE, RANK_SCALE
+    for _ in range(N_ITERS):
+        hub_new = base + (85 * (4 * (leaf // 1))) // 100
+        leaf_new = base + (85 * (hub // 4)) // 100
+        hub, leaf = hub_new, leaf_new
+    assert got == {100: hub, 101: leaf, 102: leaf, 103: leaf, 104: leaf}
+    assert hub > leaf

@@ -43,6 +43,7 @@ EXPECTED_PER_MODULE = {
     "ext_sketch_window": 1,
     "ext_colloc": 1,
     "ext_skewcheck": 1,
+    "ext_graphrank": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -72,7 +73,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail": 5,
     "ext_embed": 4,
     "ext_vocab": 2,
-    "streaming_queries": 15,
+    "streaming_queries": 16,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -93,6 +94,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_snapshot_diff",
     "ext_bigram_pmi",
     "ext_skew_audit",
+    "stream_multitouch_attribution",
+    "ext_item_pagerank",
 }
 
 #: The exact first-50 registration window the round-9 external
