@@ -80,13 +80,14 @@ _PLAN_MODULES = (
     # oracle mirrors (tests/test_queries_oracle.py at sf0.001,
     # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     #
-    # ROUND-10 ROTATION PLAN: the oldest driver signals are the r5-era
-    # rows (transforms t1–t9, dedup d-family, aggregations, sort_limit,
-    # windows, analytic, sessionize, olap_extras, the streaming splits
-    # inside streaming_queries, and the tpch tail past slot 50) — plan
-    # the r10 window to lead with those modules so their rows refresh;
-    # same pin-update discipline (window list + targets + module order
-    # in ONE commit, verified in a fresh interpreter).
+    # ROUND-10 ROTATION PLAN: precomputed and simulation-verified in
+    # plans/ROTATION_R10.md (execute FIRST thing next round, one
+    # commit): all 13 round-9 pending queries enter the window, fillers
+    # refresh the oldest driver rows (ext_dedup, the r5-era streaming
+    # splits, transforms head, olap_extras). Round 11 then leads with
+    # the remaining r5/r7-era modules (scalar_fns, dedup, aggregations,
+    # sort_limit, windows, analytic, sessionize, transforms tail, tpch
+    # tail past slot 50).
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -135,6 +136,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_colloc",
     "bigdata_spark_realtime_spark.plans.ext_skewcheck",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
+    "bigdata_spark_realtime_spark.plans.ext_split",
+    "bigdata_spark_realtime_spark.plans.ext_triplets",
 )
 
 

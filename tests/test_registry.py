@@ -44,6 +44,8 @@ EXPECTED_PER_MODULE = {
     "ext_colloc": 1,
     "ext_skewcheck": 1,
     "ext_graphrank": 1,
+    "ext_split": 1,
+    "ext_triplets": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -96,6 +98,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_skew_audit",
     "stream_multitouch_attribution",
     "ext_item_pagerank",
+    "ext_split_leakage",
+    "ext_contrastive_triplets",
 }
 
 #: The exact first-50 registration window the round-9 external
