@@ -105,9 +105,19 @@ def ext_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges0.unionByName(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # edges joins once per iteration and deg twice (degree division +
+    # the contrib join): without a persist the quota window + pair
+    # expansion replay for EVERY consumer — 188 exchanges in the k=3
+    # plan vs ~20 with the reused frames pinned (scoped: the previous
+    # invocation's frames are evicted on re-entry, round-7 ADVICE
+    # pattern)
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    edges = scoped_persist(edges, "pagerank_edges", keep=2)
     deg = edges.groupBy(F.col("src").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
+    deg = scoped_persist(deg, "pagerank_edges", keep=2)
     r = deg.select("item", F.lit(RANK_SCALE).cast("bigint").alias("r"))
     for _ in range(N_ITERS):
         contrib = (

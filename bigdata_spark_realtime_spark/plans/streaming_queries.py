@@ -1158,3 +1158,44 @@ def stream_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+def _skew_oracle() -> str:
+    from bigdata_spark_realtime_spark.plans.ext_skewcheck import (
+        SKEW_AUDIT_ORACLE,
+    )
+
+    return SKEW_AUDIT_ORACLE
+
+
+@register("stream_skew_audit", oracle=_skew_oracle())
+def stream_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew audit as continuous monitoring — the live hot-key
+    dashboard behind rebalancing decisions: per-key counts accumulate
+    in the state store (complete mode; addition is associative, so any
+    arrival order converges) and the top-K + ppm-share read runs on the
+    drained key-cardinality frame. State is one int per active key —
+    the exact-count regime; when the key space itself is unbounded,
+    production switches the state to the CMS cells
+    (`stream_cms_freq`) and audits a candidate key list instead.
+    Oracle = the batch skew audit SQL."""
+    from bigdata_spark_realtime_spark.plans.ext_skewcheck import SKEW_TOP_K
+
+    ev = _events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    kc = _drain_to_memory(counts, spark, output_mode="complete")
+    tot = kc.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        kc.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("CAST(1000000 * cnt DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOP_K)
+    )

@@ -373,3 +373,57 @@ def test_bpe_merges_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-K must not be a global sort"
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
     assert "MapInPandas" in plan, "pairs must come from the Arrow kernel"
+
+
+def test_skew_audit_pruned_and_topk(spark, sf_dir):
+    """The skew diagnostic must be the cheapest possible statistic:
+    only the audited key column leaves the scan, and top-K compiles to
+    TakeOrderedAndProject — never a global sort."""
+    plan = _plan(spark, sf_dir, "ext_skew_audit")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "user_id:bigint", m and m.group(1)
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_bigram_pmi_pruned_and_topk(spark, sf_dir):
+    """PMI reads only the text column; global top-K is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "ext_bigram_pmi")
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"text:string"}, schemas
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_multitouch_blocking_never_cross_products(spark, sf_dir):
+    """The interval predicate must run as an equi-join on
+    (user, bucket) — a plan with a cartesian/broadcast-nested-loop pair
+    expansion would be the per-user cross product the blocking exists
+    to prevent."""
+    plan = _plan(spark, sf_dir, "ext_multitouch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_reuses_edges_and_has_no_global_sort(spark, sf_dir):
+    """The k=3 loop must not replay the quota-window + pair-expansion
+    lineage per iteration: the edges/deg frames are persisted
+    (InMemoryTableScan present) and the static plan stays bounded."""
+    plan = _plan(spark, sf_dir, "ext_item_pagerank")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_split_leakage_and_triplets_prune_doc_columns(spark, sf_dir):
+    """Both SimHash-pair consumers read only (doc_id, text) for the
+    fingerprints plus a doc_id-only scan for the split/negative side —
+    lang/source/n_chars never leave the parquet."""
+    for name in ("ext_split_leakage", "ext_contrastive_triplets"):
+        plan = _plan(spark, sf_dir, name)
+        schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+        assert schemas <= {"doc_id:bigint,text:string", "doc_id:bigint"}, (
+            name,
+            schemas,
+        )

@@ -75,7 +75,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail": 5,
     "ext_embed": 4,
     "ext_vocab": 2,
-    "streaming_queries": 16,
+    "streaming_queries": 17,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -100,6 +100,7 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_item_pagerank",
     "ext_split_leakage",
     "ext_contrastive_triplets",
+    "stream_skew_audit",
 }
 
 #: The exact first-50 registration window the round-9 external
