@@ -83,6 +83,11 @@ HEADLINE: tuple[str, ...] = (
     "ext_item_cooccurrence",        # quota-capped per-user pair expansion
     "ext_hll_set_algebra",          # register-max union + inclusion-exclusion state
     "ext_embed_quantize_int8",      # exact fixed-point int8 embedding quantize
+    "ext_multitouch_attribution",   # interval join, integer credit split
+    "ext_item_pagerank",            # 3 integer Jacobi iterations, persisted graph
+    "ext_bigram_pmi",               # collocation lift, map-side pair kernel
+    "ext_split_leakage",            # hash split + SimHash cross-split matrix
+    "ext_snapshot_diff",            # two-cut last-write-wins CDC recovery
 )
 
 

@@ -1087,3 +1087,77 @@ def test_item_pagerank_star_graph(spark, tmp_path):
         hub, leaf = hub_new, leaf_new
     assert got == {100: hub, 101: leaf, 102: leaf, 103: leaf, 104: leaf}
     assert hub > leaf
+
+
+def test_multitouch_credit_conservation(spark, sf_dir):
+    """Conservation law: every attributed purchase distributes at most
+    CREDIT_SCALE and at least CREDIT_SCALE - (n_touch - 1) (truncating
+    split), and total credit equals the sum over purchases of
+    n_touch * (CREDIT_SCALE DIV n_touch)."""
+    from bigdata_spark_realtime_spark.plans.ext_attrib import (
+        CREDIT_SCALE,
+        ext_multitouch_attribution,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_rangejoin import WINDOW_US
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    out = ext_multitouch_attribution(spark, sf_dir).collect()
+    total_credit = sum(r["credit_ppm"] for r in out)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    clicks = [(r["user_id"], r["us"]) for r in ev if r["event_type"] == "click"]
+    by_user: dict[int, list[int]] = {}
+    for u, us in clicks:
+        by_user.setdefault(u, []).append(us)
+    expected = 0
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        n = sum(
+            1
+            for cus in by_user.get(r["user_id"], ())
+            if r["us"] > cus and r["us"] <= cus + WINDOW_US
+        )
+        if n:
+            expected += n * (CREDIT_SCALE // n)
+    assert total_credit == expected
+
+
+def test_snapshot_diff_reconstructs_final_state(spark, sf_dir):
+    """Applying the diff to the t1 snapshot must reproduce the full-span
+    snapshot exactly: inserts add keys, updates replace state, keys
+    absent from the diff are unchanged."""
+    from bigdata_spark_realtime_spark.plans.ext_snapshot import (
+        _state_at,
+        ext_snapshot_diff,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"), "event_id",
+    )
+    span = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).select(
+        (F.col("lo") + F.expr("(hi - lo) * 6 DIV 10")).alias("t1"),
+        F.col("hi").alias("t2"),
+    )
+    evc = ev.crossJoin(F.broadcast(span))
+    s1 = {
+        r["user_id"]: (r["event_type"], r["value"])
+        for r in _state_at(evc, "t1").collect()
+    }
+    s2 = {
+        r["user_id"]: (r["event_type"], r["value"])
+        for r in _state_at(evc, "t2").collect()
+    }
+    rebuilt = dict(s1)
+    for r in ext_snapshot_diff(spark, sf_dir).collect():
+        if r["change_type"] == "insert":
+            assert r["user_id"] not in s1
+        else:
+            assert r["user_id"] in s1
+            assert (r["old_type"], r["old_value"]) == s1[r["user_id"]]
+        rebuilt[r["user_id"]] = (r["new_type"], r["new_value"])
+    assert rebuilt == s2
