@@ -37,6 +37,14 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 
 #: credit scale: one conversion = 1_000_000 parts, split per touch
 CREDIT_SCALE = 1_000_000
+#: skew guard: at most this many touches attribute per purchase — the
+#: most RECENT clicks win (the standard last-touch recency preference).
+#: A bot user firing 10⁵ clicks and 10³ purchases inside one hour
+#: would otherwise materialize 10⁸ pairs under a single (user, bucket)
+#: join key — the same per-key quadratic AQE cannot split that the
+#: co-occurrence quota bounds (plans/ext_funnel.COOC_MAX_ITEMS_PER_USER).
+#: Part of the declared contract, mirrored in the oracle.
+MAX_TOUCH_PER_PURCHASE = 64
 
 MULTITOUCH_ORACLE = f"""
 WITH c AS (
@@ -47,12 +55,22 @@ p AS (
   SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
   FROM events WHERE event_type = 'purchase'
 ),
-pairs AS (
-  SELECT c.click_id, p.purchase_id,
-         count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+rawpairs AS (
+  SELECT c.click_id, p.purchase_id, c.us AS c_us
   FROM p JOIN c
     ON c.user_id = p.user_id
    AND p.us > c.us AND p.us <= c.us + {WINDOW_US}
+),
+capped AS (
+  SELECT click_id, purchase_id FROM rawpairs
+  QUALIFY row_number() OVER (
+    PARTITION BY purchase_id ORDER BY c_us DESC, click_id DESC
+  ) <= {MAX_TOUCH_PER_PURCHASE}
+),
+pairs AS (
+  SELECT click_id, purchase_id,
+         count(*) OVER (PARTITION BY purchase_id) AS n_touch
+  FROM capped
 ),
 credit AS (
   SELECT click_id,
@@ -65,6 +83,31 @@ SELECT c.click_id,
        CAST(coalesce(credit.n_conversions, 0) AS BIGINT) AS n_conversions
 FROM c LEFT JOIN credit USING (click_id)
 """
+
+
+def credit_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(click_id, purchase_id, c_us) pairs → per-click credit totals,
+    applying the recency touch cap then the linear split. Shared by the
+    batch operator and the stream-stream twin."""
+    cap_w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_us").desc(), F.col("click_id").desc()
+    )
+    capped = (
+        pairs.withColumn("tn", F.row_number().over(cap_w))
+        .where(F.col("tn") <= MAX_TOUCH_PER_PURCHASE)
+        .select("click_id", "purchase_id")
+    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    return (
+        capped.withColumn("n_touch", n_touch)
+        .groupBy("click_id")
+        .agg(
+            F.sum(F.expr(f"{CREDIT_SCALE} DIV n_touch"))
+            .cast("bigint")
+            .alias("credit_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        )
+    )
 
 
 @register("ext_multitouch_attribution", oracle=MULTITOUCH_ORACLE)
@@ -107,18 +150,8 @@ def ext_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_bucket") == F.col("c_bucket"))
         & (F.col("p_us") > F.col("c_us"))
         & (F.col("p_us") <= F.col("c_us") + WINDOW_US),
-    ).select("click_id", "purchase_id")
-    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
-    credit = (
-        pairs.withColumn("n_touch", n_touch)
-        .groupBy("click_id")
-        .agg(
-            F.sum(F.expr(f"{CREDIT_SCALE} DIV n_touch"))
-            .cast("bigint")
-            .alias("credit_ppm"),
-            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-        )
-    )
+    ).select("click_id", "purchase_id", "c_us")
+    credit = credit_from_pairs(pairs)
     return (
         clicks.select("click_id")
         .join(credit, "click_id", "left")

@@ -270,6 +270,25 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: distances are pure int64 in the same fixed point as
     the centroids — no float compare can flip a near-tie."""
     by_label = _centroid_artifact(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return (
+        assign_best_label(emb, by_label)
+        .groupBy(
+            F.col("label").alias("label_from"),
+            F.col("best.label").alias("label_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def assign_best_label(emb: DataFrame, by_label: dict) -> DataFrame:
+    """Per-row nearest-centroid assignment (the codegen argmin the
+    batch confusion matrix and its streaming twin share): adds a
+    ``best`` struct column (dist_q, label) next to the row's own
+    ``label``. Works unchanged on batch and streaming frames — the
+    centroid literals are plan constants."""
     cents = F.array(
         *[
             F.struct(
@@ -283,9 +302,6 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for label, dims in sorted(by_label.items())
         ]
-    )
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
     )
     vq = F.transform(
         F.col("embedding"),
@@ -306,14 +322,8 @@ def ext_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["label"].alias("label"),
         ),
     )
-    return (
-        emb.select("label", vq.alias("vq"))
-        .select("label", F.array_min(dists).alias("best"))
-        .groupBy(
-            F.col("label").alias("label_from"),
-            F.col("best.label").alias("label_to"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    return emb.select("label", vq.alias("vq")).select(
+        "label", F.array_min(dists).alias("best")
     )
 
 

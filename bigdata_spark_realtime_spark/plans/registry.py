@@ -138,6 +138,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
+    "bigdata_spark_realtime_spark.plans.ext_annops",
 )
 
 

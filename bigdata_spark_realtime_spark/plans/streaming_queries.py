@@ -1097,9 +1097,9 @@ def stream_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     batch-side on the drained pair frame exactly like
     plans/ext_attrib.ext_multitouch_attribution. Oracle = the batch
     SQL."""
-    from pyspark.sql import Window
-
-    from bigdata_spark_realtime_spark.plans.ext_attrib import CREDIT_SCALE
+    from bigdata_spark_realtime_spark.plans.ext_attrib import (
+        credit_from_pairs,
+    )
     from bigdata_spark_realtime_spark.sources.tables import load_table
 
     clicks = (
@@ -1127,20 +1127,10 @@ def stream_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("p_user") == F.col("c_user"))
         & (F.col("p_time") > F.col("c_time"))
         & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 1 HOUR")),
-    ).select("click_id", "purchase_id")
+    ).select("click_id", "purchase_id", F.unix_micros("c_time").alias("c_us"))
     drained = _drain_to_memory(pairs, spark)
-
-    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
-    credit = (
-        drained.withColumn("n_touch", n_touch)
-        .groupBy("click_id")
-        .agg(
-            F.sum(F.expr(f"{CREDIT_SCALE} DIV n_touch"))
-            .cast("bigint")
-            .alias("credit_ppm"),
-            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
-        )
-    )
+    # recency touch cap + linear split, shared with the batch operator
+    credit = credit_from_pairs(drained)
     all_clicks = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "click")

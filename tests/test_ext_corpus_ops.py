@@ -1096,6 +1096,7 @@ def test_multitouch_credit_conservation(spark, sf_dir):
     n_touch * (CREDIT_SCALE DIV n_touch)."""
     from bigdata_spark_realtime_spark.plans.ext_attrib import (
         CREDIT_SCALE,
+        MAX_TOUCH_PER_PURCHASE,
         ext_multitouch_attribution,
     )
     from bigdata_spark_realtime_spark.plans.ext_rangejoin import WINDOW_US
@@ -1120,6 +1121,7 @@ def test_multitouch_credit_conservation(spark, sf_dir):
             for cus in by_user.get(r["user_id"], ())
             if r["us"] > cus and r["us"] <= cus + WINDOW_US
         )
+        n = min(n, MAX_TOUCH_PER_PURCHASE)
         if n:
             expected += n * (CREDIT_SCALE // n)
     assert total_credit == expected
@@ -1161,3 +1163,45 @@ def test_snapshot_diff_reconstructs_final_state(spark, sf_dir):
             assert (r["old_type"], r["old_value"]) == s1[r["user_id"]]
         rebuilt[r["user_id"]] = (r["new_type"], r["new_value"])
     assert rebuilt == s2
+
+
+def test_multitouch_touch_cap_bounds_adversarial_purchase(spark, tmp_path):
+    """A bot purchase with 300 in-window clicks attributes to only the
+    MAX_TOUCH_PER_PURCHASE most recent ones (each credited
+    SCALE DIV cap); older clicks keep explicit zeros. The DuckDB oracle
+    run on the same synthetic table selects the IDENTICAL capped set
+    (the cap never binds at the gate scale factors)."""
+    import duckdb
+
+    from bigdata_spark_realtime_spark.plans.ext_attrib import (
+        CREDIT_SCALE,
+        MAX_TOUCH_PER_PURCHASE,
+        MULTITOUCH_ORACLE,
+        ext_multitouch_attribution,
+    )
+    from oracle_util import assert_matches_oracle
+
+    t0 = 1_700_000_000_000_000
+    n_clicks = 300
+    rows = [
+        (i, t0 + i * 1_000, 9, "click", "{}") for i in range(1, n_clicks + 1)
+    ]
+    rows.append((n_clicks + 1, t0 + 3_000_000_000, 9, "purchase", "{}"))
+    _write_events(tmp_path, rows)
+
+    out = ext_multitouch_attribution(spark, str(tmp_path))
+    got = {r["click_id"]: r["credit_ppm"] for r in out.collect()}
+    cap = MAX_TOUCH_PER_PURCHASE
+    share = CREDIT_SCALE // cap
+    # the cap most-recent clicks (highest c_us) are the last `cap` ids
+    for cid in range(n_clicks - cap + 1, n_clicks + 1):
+        assert got[cid] == share, cid
+    for cid in range(1, n_clicks - cap + 1):
+        assert got[cid] == 0, cid
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert_matches_oracle(out, con, MULTITOUCH_ORACLE)

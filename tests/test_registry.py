@@ -46,6 +46,7 @@ EXPECTED_PER_MODULE = {
     "ext_graphrank": 1,
     "ext_split": 1,
     "ext_triplets": 1,
+    "ext_annops": 2,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -101,6 +102,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_split_leakage",
     "ext_contrastive_triplets",
     "stream_skew_audit",
+    "ext_ivf_cell_stats",
+    "stream_kmeans_assign",
 }
 
 #: The exact first-50 registration window the round-9 external
