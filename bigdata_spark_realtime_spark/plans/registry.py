@@ -139,6 +139,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
     "bigdata_spark_realtime_spark.plans.ext_annops",
+    "bigdata_spark_realtime_spark.plans.ext_scd2",
+    "bigdata_spark_realtime_spark.plans.ext_anomaly",
 )
 
 

@@ -1205,3 +1205,57 @@ def test_multitouch_touch_cap_bounds_adversarial_purchase(spark, tmp_path):
         f"read_parquet('{tmp_path}/events.parquet')"
     )
     assert_matches_oracle(out, con, MULTITOUCH_ORACLE)
+
+
+def test_scd2_intervals_runs_and_open_interval(spark, tmp_path):
+    """Planted state chain a,a,b,a: three islands with touching
+    [from, to) bounds, the last open (OPEN_US sentinel); same-timestamp
+    events order by event_id."""
+    from bigdata_spark_realtime_spark.plans.ext_scd2 import (
+        OPEN_US,
+        ext_scd2_intervals,
+    )
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, t0 + 10, 5, "a", "{}"),
+        (2, t0 + 20, 5, "a", "{}"),      # same state -> same island
+        (3, t0 + 30, 5, "b", "{}"),
+        (4, t0 + 30, 5, "a", "{}"),      # same ts as 3: id orders after
+    ]
+    _write_events(tmp_path, rows)
+    got = sorted(
+        (
+            r["state"],
+            r["valid_from_us"] - t0,
+            "open" if r["valid_to_us"] == OPEN_US else r["valid_to_us"] - t0,
+            r["n_events"],
+        )
+        for r in ext_scd2_intervals(spark, str(tmp_path)).collect()
+    )
+    assert got == [("a", 10, 30, 2), ("a", 30, "open", 1), ("b", 30, 30, 1)]
+
+
+def test_rollup_anomaly_flags_spike_and_drop(spark, tmp_path):
+    """Planted volumes: baseline days at 10 events, one 30-event spike
+    (3x median -> flagged) and one 4-event drop (0.4x -> flagged)."""
+    from bigdata_spark_realtime_spark.plans.ext_anomaly import (
+        ext_rollup_anomaly,
+    )
+
+    DAY = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+    rows, eid = [], 0
+    for d, n in enumerate((10, 10, 10, 30, 4)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, t0 + d * DAY + i * 1_000, 1, "click", "{}"))
+    _write_events(tmp_path, rows)
+    got = {
+        r["day"]: (r["ct"], r["median_ct"], r["is_anomaly"])
+        for r in ext_rollup_anomaly(spark, str(tmp_path)).collect()
+    }
+    days = sorted(got)
+    assert [got[d] for d in days] == [
+        (10, 10, 0), (10, 10, 0), (10, 10, 0), (30, 10, 1), (4, 10, 1),
+    ]

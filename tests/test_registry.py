@@ -47,6 +47,8 @@ EXPECTED_PER_MODULE = {
     "ext_split": 1,
     "ext_triplets": 1,
     "ext_annops": 2,
+    "ext_scd2": 1,
+    "ext_anomaly": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -104,6 +106,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_skew_audit",
     "ext_ivf_cell_stats",
     "stream_kmeans_assign",
+    "ext_scd2_intervals",
+    "ext_rollup_anomaly",
 }
 
 #: The exact first-50 registration window the round-9 external
