@@ -364,3 +364,42 @@ def ext_event_transitions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+CONVERSION_ORACLE = f"""
+WITH funnel AS (
+  {FUNNEL_ORACLE}
+)
+SELECT step, step_name, n_users,
+       CAST(coalesce(
+         1000000 * n_users // nullif(lag(n_users) OVER (ORDER BY step), 0),
+         1000000) AS BIGINT) AS conv_from_prev_ppm
+FROM funnel
+"""
+
+
+# registered by plans/ext_funnel_tail.py (splice rule — this module is
+# inside the pinned round-9 gate window)
+def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-over-step funnel conversion rates in integer ppm — the
+    number product analytics actually reads off the funnel (step 1
+    reports 1e6 by convention; a zero previous step reports 1e6 rather
+    than dividing by zero). Runs on the 3-row funnel frame; the raw
+    scan cost is the funnel's own."""
+    funnel = ext_funnel_steps(spark, sf_dir)
+    # integer DIV via expr so truncation mirrors the oracle exactly;
+    # the 3-row ordered window runs on the funnel frame, not raw data
+    return funnel.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.coalesce(
+            F.expr(
+                "1000000 * n_users DIV nullif(lag(n_users) "
+                "OVER (ORDER BY step), 0)"
+            ),
+            F.lit(1_000_000),
+        )
+        .cast("bigint")
+        .alias("conv_from_prev_ppm"),
+    )

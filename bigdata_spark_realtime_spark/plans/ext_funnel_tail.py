@@ -17,3 +17,9 @@ from bigdata_spark_realtime_spark.plans.registry import register
 register(
     "ext_event_transitions_daily", oracle=fnl.TRANSITIONS_DAILY_ORACLE
 )(fnl.ext_event_transitions_daily)
+
+# step-over-step conversion rates on the funnel frame (defined beside
+# the funnel in ext_funnel)
+register("ext_funnel_conversion", oracle=fnl.CONVERSION_ORACLE)(
+    fnl.ext_funnel_conversion
+)

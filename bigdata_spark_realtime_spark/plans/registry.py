@@ -141,6 +141,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_annops",
     "bigdata_spark_realtime_spark.plans.ext_scd2",
     "bigdata_spark_realtime_spark.plans.ext_anomaly",
+    "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
 )
 
 

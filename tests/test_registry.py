@@ -49,10 +49,11 @@ EXPECTED_PER_MODULE = {
     "ext_annops": 2,
     "ext_scd2": 1,
     "ext_anomaly": 1,
+    "ext_dedup_impact": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
-    "ext_funnel": 5,
+    "ext_funnel": 6,
     "ext_asof": 1,
     "ext_sampling": 3,
     "ext_srp": 1,
@@ -108,6 +109,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_kmeans_assign",
     "ext_scd2_intervals",
     "ext_rollup_anomaly",
+    "ext_dedup_impact",
+    "ext_funnel_conversion",
 }
 
 #: The exact first-50 registration window the round-9 external
