@@ -199,3 +199,35 @@ def ext_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source")
     )
+
+
+SAMPLE_K = 200
+
+TOPK_HASH_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+ORDER BY {H.h32_sql("'topk|' || doc_id::VARCHAR")}, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+def ext_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample without replacement: the K smallest
+    md5-hash values corpus-wide — the deterministic engine-agnostic
+    replacement for reservoir sampling (every engine, retry, and both
+    oracle sides pick the identical K rows; a true reservoir is
+    RNG-order-dependent). Complements the fixed-RATE samplers above:
+    rate-based keeps scale with the corpus, this keeps exactly K.
+
+    Scale (100 TB): compiles to TakeOrderedAndProject — per-partition
+    top-K then a K-row merge; no global sort, no shuffle of corpus
+    rows. The hash is salted ('topk|') so this sample is independent
+    of every other hash-derived decision in the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    order = H.h32(F.concat(F.lit("topk|"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", order.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(SAMPLE_K)
+        .select("doc_id", "source")
+    )

@@ -142,6 +142,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_scd2",
     "bigdata_spark_realtime_spark.plans.ext_anomaly",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
+    "bigdata_spark_realtime_spark.plans.ext_sampling_tail",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
 )
 
 

@@ -50,12 +50,14 @@ EXPECTED_PER_MODULE = {
     "ext_scd2": 1,
     "ext_anomaly": 1,
     "ext_dedup_impact": 1,
+    "ext_sampling_tail": 0,
+    "ext_stream_tail2": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
     "ext_funnel": 6,
     "ext_asof": 1,
-    "ext_sampling": 3,
+    "ext_sampling": 4,
     "ext_srp": 1,
     "ext_decontam": 1,
     "ext_packing": 1,
@@ -111,6 +113,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_rollup_anomaly",
     "ext_dedup_impact",
     "ext_funnel_conversion",
+    "ext_sample_topk_hash",
+    "stream_bigram_pmi",
 }
 
 #: The exact first-50 registration window the round-9 external
