@@ -1259,3 +1259,37 @@ def test_rollup_anomaly_flags_spike_and_drop(spark, tmp_path):
     assert [got[d] for d in days] == [
         (10, 10, 0), (10, 10, 0), (10, 10, 0), (30, 10, 1), (4, 10, 1),
     ]
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark, sf_dir):
+    """Structural invariants on real data: per user, intervals are
+    contiguous (each valid_to equals the next valid_from, the last is
+    the OPEN_US sentinel), states alternate between adjacent runs, and
+    n_events sums to the user's event count."""
+    from collections import defaultdict
+
+    from bigdata_spark_realtime_spark.plans.ext_scd2 import (
+        OPEN_US,
+        ext_scd2_intervals,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    rows = ext_scd2_intervals(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, ivals in by_user.items():
+        ivals.sort(key=lambda r: r["valid_from_us"])
+        for a, b in zip(ivals, ivals[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], uid
+            assert a["state"] != b["state"], uid  # runs are maximal
+        assert ivals[-1]["valid_to_us"] == OPEN_US, uid
+        assert sum(r["n_events"] for r in ivals) == ev_counts[uid], uid
