@@ -100,6 +100,12 @@ def ext_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hregs = ranked.groupBy("day", "hour", "event_type", "bucket").agg(
         F.max("rank").alias("reg")
     )
+    # both grains consume hregs (hourly state + the day merge): persist
+    # the hour×type×256-row register frame so raw is scanned once, as
+    # the module doc promises (scoped: previous invocation evicted)
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    hregs = scoped_persist(hregs, "hll_hourly_regs", keep=1)
     scaled = (
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {S} - reg)"))
         + (M - F.count(F.lit(1))) * F.lit(1 << S)

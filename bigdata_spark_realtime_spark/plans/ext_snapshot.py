@@ -19,12 +19,13 @@ Exactness: cut arithmetic is integer (``t_lo + (t_hi−t_lo)·6 DIV 10``);
 row comparison is exact on the string type and the parquet-identical
 float64 value — no derived floats anywhere.
 
-Scale (100 TB): one scan feeds both snapshots (the ≤T2 filter subsumes
-≤T1; the ranked window runs once per cut on user-keyed partitions);
-the diff is a single full-outer self-join on user_id — key-cardinality
-rows, never event-cardinality. In production the cut points are
-partition predicates (dt= pruning) instead of scan filters, same plan
-otherwise. Output: one row per user whose state was CREATED or CHANGED
+Scale (100 TB): the ≤T2 rows subsume ≤T1's, and in production the cut
+points are partition predicates (dt= pruning) on ONE scan of the
+partitioned history; the unpersisted test-scale plan evaluates a
+ranked window per cut (two scans — persist the shared ≤T2 slice to
+collapse them when the input isn't partition-pruned). The diff itself
+is a single join on user_id — key-cardinality rows, never
+event-cardinality. Output: one row per user whose state was CREATED or CHANGED
 between the cuts ('insert' / 'update'); unchanged keys drop out
 map-side.
 """
