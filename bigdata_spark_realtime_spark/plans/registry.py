@@ -144,6 +144,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
     "bigdata_spark_realtime_spark.plans.ext_sampling_tail",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
+    "bigdata_spark_realtime_spark.plans.ext_pit",
+    "bigdata_spark_realtime_spark.plans.ext_setjoin",
 )
 
 

@@ -427,3 +427,16 @@ def test_split_leakage_and_triplets_prune_doc_columns(spark, sf_dir):
             name,
             schemas,
         )
+
+
+def test_pit_scd2_join_is_asof_not_interval_product(spark, sf_dir):
+    """The point-in-time SCD2 lookup must execute as the union-and-window
+    as-of (one hash exchange layer on the user key), never as the
+    interval theta-join Spark would run as a per-key pairwise product
+    (CartesianProduct / BroadcastNestedLoopJoin)."""
+    plan = _plan(spark, sf_dir, "ext_pit_scd2_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no join node at all: the lookup is a window over the tagged union
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan

@@ -52,6 +52,8 @@ EXPECTED_PER_MODULE = {
     "ext_dedup_impact": 1,
     "ext_sampling_tail": 0,
     "ext_stream_tail2": 1,
+    "ext_pit": 1,
+    "ext_setjoin": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -115,6 +117,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_funnel_conversion",
     "ext_sample_topk_hash",
     "stream_bigram_pmi",
+    "ext_pit_scd2_join",
+    "ext_setsim_join",
 }
 
 #: The exact first-50 registration window the round-9 external
