@@ -146,6 +146,8 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
     "bigdata_spark_realtime_spark.plans.ext_pit",
     "bigdata_spark_realtime_spark.plans.ext_setjoin",
+    "bigdata_spark_realtime_spark.plans.ext_binning",
+    "bigdata_spark_realtime_spark.plans.ext_contract",
 )
 
 

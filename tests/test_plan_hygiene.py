@@ -440,3 +440,13 @@ def test_pit_scd2_join_is_asof_not_interval_product(spark, sf_dir):
     # no join node at all: the lookup is a window over the tagged union
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_contract_audit_is_single_pass_no_data_shuffle(spark, sf_dir):
+    """All contract rules must evaluate in one map-side aggregated scan:
+    the only exchange is the 1-row-per-partition SinglePartition
+    collect — never a hashpartitioning of data rows, never a per-rule
+    rescan."""
+    plan = _plan(spark, sf_dir, "ext_contract_audit")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 2  # tree node + its details entry

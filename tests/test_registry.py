@@ -54,6 +54,8 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail2": 1,
     "ext_pit": 1,
     "ext_setjoin": 1,
+    "ext_binning": 1,
+    "ext_contract": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -119,6 +121,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_bigram_pmi",
     "ext_pit_scd2_join",
     "ext_setsim_join",
+    "ext_equidepth_bins",
+    "ext_contract_audit",
 }
 
 #: The exact first-50 registration window the round-9 external
