@@ -55,7 +55,7 @@ EXPECTED_PER_MODULE = {
     "ext_pit": 1,
     "ext_setjoin": 1,
     "ext_binning": 1,
-    "ext_contract": 1,
+    "ext_contract": 2,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -123,6 +123,7 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_setsim_join",
     "ext_equidepth_bins",
     "ext_contract_audit",
+    "stream_contract_audit",
 }
 
 #: The exact first-50 registration window the round-9 external
