@@ -88,6 +88,11 @@ HEADLINE: tuple[str, ...] = (
     "ext_bigram_pmi",               # collocation lift, map-side pair kernel
     "ext_split_leakage",            # hash split + SimHash cross-split matrix
     "ext_snapshot_diff",            # two-cut last-write-wins CDC recovery
+    "ext_timeseries_gapfill",       # hourly resample + LOCF window on calendar grid
+    "ext_trend_slope",              # int64 least-squares over daily partials
+    "ext_triangle_count",           # degree-oriented wedge join on capped graph
+    "ext_concurrency_peak",         # hierarchical sweep-line, no global sort
+    "ext_selfjoin_size_f2",         # CMS F2 moment vs exact, register-sized state
 )
 
 

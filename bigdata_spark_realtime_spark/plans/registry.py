@@ -148,6 +148,13 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_setjoin",
     "bigdata_spark_realtime_spark.plans.ext_binning",
     "bigdata_spark_realtime_spark.plans.ext_contract",
+    "bigdata_spark_realtime_spark.plans.ext_timeseries",
+    "bigdata_spark_realtime_spark.plans.ext_graphtri",
+    "bigdata_spark_realtime_spark.plans.ext_fuzzy",
+    "bigdata_spark_realtime_spark.plans.ext_timeseries2",
+    "bigdata_spark_realtime_spark.plans.ext_concurrency",
+    "bigdata_spark_realtime_spark.plans.ext_sampling2",
+    "bigdata_spark_realtime_spark.plans.ext_sketch2",
 )
 
 

@@ -450,3 +450,80 @@ def test_contract_audit_is_single_pass_no_data_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_contract_audit")
     assert "hashpartitioning" not in plan
     assert plan.count("Exchange") <= 2  # tree node + its details entry
+
+
+def test_gapfill_caches_hourly_partials_single_raw_scan(spark, sf_dir):
+    """Grid bounds AND the left join both consume the hourly partials:
+    the frame must be persisted (one raw scan at 100 TB, not two) and
+    the forward-fill window must run on the calendar grid, never sort
+    globally."""
+    plan = _plan(spark, sf_dir, "ext_timeseries_gapfill")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+    assert "Window" in plan
+
+
+def test_trend_slope_prunes_and_never_sorts_globally(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_trend_slope")
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"ts:timestamp_ntz,event_type:string,value:double"}
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_twa_is_single_user_shuffle(spark, sf_dir):
+    """The lead window and the per-user aggregation share the user_id
+    partitioning — exactly one hash exchange of data rows."""
+    plan = _plan(spark, sf_dir, "ext_twa_value")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_triangle_count_persists_oriented_edges_no_cartesian(spark, sf_dir):
+    """The three-legged wedge join must consume the PERSISTED oriented
+    edge frame (not replay the quota window per leg) and must stay an
+    equi-join on the anchor key — never a cartesian/nested-loop pair
+    enumeration."""
+    plan = _plan(spark, sf_dir, "ext_triangle_count")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_runs_on_vocabulary_not_rows(spark, sf_dir):
+    """The Levenshtein self-join's both sides must be the aggregated
+    distinct-name frame (HashAggregate below the join), the block key
+    an equi-join, and the part scan pruned to p_name only."""
+    plan = _plan(spark, sf_dir, "ext_fuzzy_join_editdist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"p_name:string"}
+
+
+def test_seasonal_baseline_broadcasts_hod_table(spark, sf_dir):
+    """The 24-rows-per-type hour-of-day baseline must come back as a
+    broadcast, and no global sort may appear anywhere."""
+    plan = _plan(spark, sf_dir, "ext_seasonal_baseline")
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_concurrency_peak_never_sorts_globally(spark, sf_dir):
+    """The whole point of the hierarchical sweep line: the textbook
+    global boundary sort must NOT appear — the carry window runs on the
+    calendar-bounded hour totals and the boundary sort is partition-
+    local within each hour bucket."""
+    plan = _plan(spark, sf_dir, "ext_concurrency_peak")
+    assert not re.search(r"\bSort \[.*\], true", plan)
+    assert "BroadcastHashJoin" in plan  # carry joins back as broadcast
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_weighted_sample_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_selfjoin_f2_prunes_to_type_and_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_selfjoin_size_f2")
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"user_id:bigint,event_type:string"}, schemas

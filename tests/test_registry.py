@@ -56,6 +56,13 @@ EXPECTED_PER_MODULE = {
     "ext_setjoin": 1,
     "ext_binning": 1,
     "ext_contract": 2,
+    "ext_timeseries": 4,
+    "ext_graphtri": 1,
+    "ext_fuzzy": 1,
+    "ext_timeseries2": 2,
+    "ext_concurrency": 1,
+    "ext_sampling2": 1,
+    "ext_sketch2": 2,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -124,6 +131,18 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_equidepth_bins",
     "ext_contract_audit",
     "stream_contract_audit",
+    "ext_timeseries_gapfill",
+    "ext_trend_slope",
+    "ext_twa_value",
+    "ext_triangle_count",
+    "ext_fuzzy_join_editdist",
+    "stream_trend_slope",
+    "ext_seasonal_baseline",
+    "ext_changepoint_cusum",
+    "ext_concurrency_peak",
+    "ext_weighted_sample_priority",
+    "ext_selfjoin_size_f2",
+    "stream_selfjoin_size",
 }
 
 #: The exact first-50 registration window the round-9 external

@@ -1,0 +1,358 @@
+"""Planted-fixture tests for the round-9 time-series / graph / fuzzy
+operators: gap-fill carries the right value across planted silent
+hours, the integer regression signs match constructed monotone series,
+TWA reproduces a hand-computed weighted mean, triangle counting is
+exact on a known graph (and zero on a star), and the fuzzy join blocks
+correctly. Each planted table also runs the DuckDB oracle, so the
+cross-engine contract is proven on data where the interesting branch
+actually fires (the gate SFs have no silent hours and few triangles).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from oracle_util import assert_matches_oracle
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value, props)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+
+def _duck(tmp_path, table="events"):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/{table}.parquet')"
+    )
+    return con
+
+
+HOUR_US = 3_600 * 1_000_000
+#: 2024-01-01 00:00:00 UTC in epoch micros (whole hour, so planted
+#: offsets land in predictable hour buckets)
+T0 = 1_704_067_200_000_000
+
+
+def test_gapfill_carries_value_across_planted_gap(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        GAPFILL_ORACLE,
+        ext_timeseries_gapfill,
+    )
+
+    rows = [
+        # hours 0, 1 observed; hour 2 SILENT; hour 3 observed
+        (1, T0 + 10, 1, "click", 1.25, None),
+        (2, T0 + HOUR_US + 10, 1, "click", 2.50, None),
+        (3, T0 + 3 * HOUR_US + 10, 1, "click", 4.00, None),
+    ]
+    _write_events(tmp_path, rows)
+    out = {
+        r["hr"]: r
+        for r in ext_timeseries_gapfill(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4  # dense grid: hours 0..3
+    gap = out["2024-01-01 02"]
+    assert (gap["cnt"], gap["gap"]) == (0, 1)
+    # carried forward from hour 1 (250 cents), not zero
+    assert gap["v100_ff"] == 250
+    assert out["2024-01-01 03"]["v100_ff"] == 400
+    assert out["2024-01-01 00"]["gap"] == 0
+    assert_matches_oracle(
+        ext_timeseries_gapfill(spark, str(tmp_path)),
+        _duck(tmp_path),
+        GAPFILL_ORACLE,
+    )
+
+
+def test_trend_slope_signs_on_monotone_series(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        TREND_ORACLE,
+        ext_trend_slope,
+    )
+
+    DAY_US = 24 * HOUR_US
+    rows = []
+    eid = 0
+    for d in range(5):
+        eid += 1
+        rows.append((eid, T0 + d * DAY_US, 1, "up", 1.0 + d, None))
+        eid += 1
+        rows.append((eid, T0 + d * DAY_US, 1, "down", 10.0 - d, None))
+        eid += 1
+        rows.append((eid, T0 + d * DAY_US, 1, "flat", 7.0, None))
+    _write_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in ext_trend_slope(spark, str(tmp_path)).collect()}
+    assert out["up"]["trend"] == "rising"
+    assert out["down"]["trend"] == "falling"
+    assert out["flat"]["trend"] == "flat"
+    # y = avg cents/day rises 100/day: slope_q = 10^4 * 100·den/den
+    assert out["up"]["slope_val_q"] == 100 * 10_000
+    assert out["up"]["n_days"] == 5
+    assert_matches_oracle(
+        ext_trend_slope(spark, str(tmp_path)), _duck(tmp_path), TREND_ORACLE
+    )
+
+
+def test_twa_matches_hand_computed_weighted_mean(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        TWA_ORACLE,
+        ext_twa_value,
+    )
+
+    SEC_US = 1_000_000
+    rows = [
+        # value 1.00 current for 10 s, then 3.00 for 20 s, last unweighted
+        (1, T0, 7, "click", 1.00, None),
+        (2, T0 + 10 * SEC_US, 7, "click", 3.00, None),
+        (3, T0 + 30 * SEC_US, 7, "click", 99.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    [r] = ext_twa_value(spark, str(tmp_path)).collect()
+    assert r["user_id"] == 7 and r["n_segments"] == 2
+    assert r["twa_den"] == 30_000  # ms
+    assert r["twa_num"] == 100 * 10_000 + 300 * 20_000
+    assert r["twa_cents"] == 233
+    assert_matches_oracle(
+        ext_twa_value(spark, str(tmp_path)), _duck(tmp_path), TWA_ORACLE
+    )
+
+
+def _cooc_rows(user_items):
+    rows = []
+    eid = 0
+    for uid, items in user_items:
+        for it in items:
+            eid += 1
+            rows.append(
+                (eid, T0 + eid, uid, "view", 1.0, '{"k": %d}' % it)
+            )
+    return rows
+
+
+def test_triangle_count_exact_on_planted_graph(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_graphtri import (
+        TRIANGLE_ORACLE,
+        ext_triangle_count,
+    )
+
+    # user 1 → clique {1,2,3}; user 2 → clique {2,3,4}
+    # edges: 12 13 23 24 34 → triangles (1,2,3) and (2,3,4)
+    _write_events(tmp_path, _cooc_rows([(1, [1, 2, 3]), (2, [2, 3, 4])]))
+    out = {r["item"]: r for r in ext_triangle_count(spark, str(tmp_path)).collect()}
+    assert {i: out[i]["n_tri"] for i in sorted(out)} == {1: 1, 2: 2, 3: 2, 4: 1}
+    assert {i: out[i]["degree"] for i in sorted(out)} == {1: 2, 2: 3, 3: 3, 4: 2}
+    assert_matches_oracle(
+        ext_triangle_count(spark, str(tmp_path)),
+        _duck(tmp_path),
+        TRIANGLE_ORACLE,
+    )
+
+
+def test_triangle_count_zero_on_star_graph(spark, tmp_path):
+    """A hub item co-viewed with many spokes but no spoke-spoke edges
+    has wedges at every spoke pair under NAIVE enumeration — the
+    degree-ordered orientation instead anchors wedges at the spokes
+    (out-degree 1 each), so the join explores zero wedge pairs and
+    reports zero triangles."""
+    from bigdata_spark_realtime_spark.plans.ext_graphtri import (
+        ext_triangle_count,
+    )
+
+    # 12 users each co-view (hub=100, spoke=i) — star, no triangles
+    _write_events(
+        tmp_path, _cooc_rows([(u, [100, u]) for u in range(1, 13)])
+    )
+    out = ext_triangle_count(spark, str(tmp_path)).collect()
+    assert all(r["n_tri"] == 0 for r in out)
+    assert {r["degree"] for r in out} == {1, 12}
+
+
+def test_fuzzy_join_respects_block_and_distance(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_fuzzy import (
+        FUZZY_ORACLE,
+        ext_fuzzy_join_editdist,
+    )
+
+    names = ["cold bolt", "old bolt", "old bolt", "gold ring", "bold ring"]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(range(len(names)), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "part.parquet"))
+    out = ext_fuzzy_join_editdist(spark, str(tmp_path)).collect()
+    got = {(r["name_a"], r["name_b"]): r for r in out}
+    # "cold bolt"/"old bolt" share block 'bolt' at distance 1;
+    # "gold ring"/"bold ring" share block 'ring' at distance 1;
+    # cross-block pairs (e.g. "gold ring" vs "old bolt") never compare
+    assert set(got) == {
+        ("cold bolt", "old bolt"),
+        ("bold ring", "gold ring"),
+    }
+    assert got[("cold bolt", "old bolt")]["dist"] == 1
+    assert got[("cold bolt", "old bolt")]["n_parts_b"] == 2  # dup name
+    assert_matches_oracle(
+        ext_fuzzy_join_editdist(spark, str(tmp_path)),
+        _duck(tmp_path, table="part"),
+        FUZZY_ORACLE,
+    )
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries2 import (
+        CUSUM_ORACLE,
+        ext_changepoint_cusum,
+    )
+
+    # 1 event/hour for hours 0-9, then 5/hour for hours 10-19: the
+    # |CUSUM| peak sits exactly at the last pre-shift hour (hour 9)
+    rows = []
+    eid = 0
+    for h in range(20):
+        for _ in range(1 if h < 10 else 5):
+            eid += 1
+            rows.append((eid, T0 + h * HOUR_US + eid, 1, "shift", 1.0, None))
+    _write_events(tmp_path, rows)
+    [r] = ext_changepoint_cusum(spark, str(tmp_path)).collect()
+    assert r["cp_hour"] == "2024-01-01 09"
+    assert r["shift_shape"] == "down_then_up"  # low period first
+    assert r["n_hours"] == 20
+    assert_matches_oracle(
+        ext_changepoint_cusum(spark, str(tmp_path)),
+        _duck(tmp_path),
+        CUSUM_ORACLE,
+    )
+
+
+def test_seasonal_dev_ppm_on_planted_hod_pattern(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries2 import (
+        SEASONAL_ORACLE,
+        ext_seasonal_baseline,
+    )
+
+    DAY_US = 24 * HOUR_US
+    # hour-of-day 3 always carries value 2.00 except on day 2, where it
+    # spikes to 6.00 → dev_ppm = +2_000_000 that day, -? on others
+    rows = []
+    eid = 0
+    for d in range(3):
+        eid += 1
+        v = 6.00 if d == 2 else 2.00
+        rows.append((eid, T0 + d * DAY_US + 3 * HOUR_US, 1, "click", v, None))
+    _write_events(tmp_path, rows)
+    out = {r["hr"]: r for r in ext_seasonal_baseline(spark, str(tmp_path)).collect()}
+    # baseline avg_hod = (200+200+600)/3 = 333 cents
+    spike = out["2024-01-03 03"]
+    assert spike["avg_hod"] == 333
+    assert spike["dev_ppm"] == (1_000_000 * 600) // 333 - 1_000_000
+    assert_matches_oracle(
+        ext_seasonal_baseline(spark, str(tmp_path)),
+        _duck(tmp_path),
+        SEASONAL_ORACLE,
+    )
+
+
+def test_concurrency_peak_counts_planted_overlap(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_concurrency import (
+        CONCURRENCY_ORACLE,
+        ext_concurrency_peak,
+    )
+
+    MIN_US = 60 * 1_000_000
+    rows = [
+        # user 1: session 00:00-00:10; user 2: 00:05-00:15 (overlap 2);
+        # user 3: 02:00 single event (after both ended) → peak stays 2
+        (1, T0, 1, "click", 1.0, None),
+        (2, T0 + 10 * MIN_US, 1, "click", 1.0, None),
+        (3, T0 + 5 * MIN_US, 2, "click", 1.0, None),
+        (4, T0 + 15 * MIN_US, 2, "click", 1.0, None),
+        (5, T0 + 120 * MIN_US, 3, "click", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    [r] = ext_concurrency_peak(spark, str(tmp_path)).collect()
+    assert r["day"] == "2024-01-01"
+    assert r["peak_concurrency"] == 2
+    assert r["n_sessions_started"] == 3
+    assert_matches_oracle(
+        ext_concurrency_peak(spark, str(tmp_path)),
+        _duck(tmp_path),
+        CONCURRENCY_ORACLE,
+    )
+
+
+def test_concurrency_carry_crosses_hour_buckets(spark, tmp_path):
+    """A session spanning several hour buckets must be carried into
+    later buckets by the hierarchical prefix — peak in hour 2 counts
+    the session that started in hour 0 and is still open."""
+    from bigdata_spark_realtime_spark.plans.ext_concurrency import (
+        ext_concurrency_peak,
+    )
+
+    MIN_US = 60 * 1_000_000
+    rows = [
+        # user 1: one LONG session 00:00 → 02:30 (events every 20 min
+        # keep the 30-min gap sessionizer from splitting it)
+        *[
+            (i + 1, T0 + i * 20 * MIN_US, 1, "click", 1.0, None)
+            for i in range(8)  # 00:00 .. 02:20
+        ],
+        # user 2: short session inside hour 2 → overlap of 2 there
+        (100, T0 + 125 * MIN_US, 2, "click", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    [r] = ext_concurrency_peak(spark, str(tmp_path)).collect()
+    assert r["peak_concurrency"] == 2  # long session carried into hour 2
+
+
+def test_weighted_sample_returns_all_when_k_exceeds_n(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_sampling2 import (
+        PRIORITY_SAMPLE_ORACLE,
+        ext_weighted_sample_priority,
+    )
+
+    rows = [
+        (i, T0 + i, 1, "click", float(i), None) for i in range(1, 21)
+    ]
+    _write_events(tmp_path, rows)
+    out = ext_weighted_sample_priority(spark, str(tmp_path)).collect()
+    assert len(out) == 20  # K=500 > n: every row sampled
+    # priorities strictly ordered in the output contract
+    ps = [(r["priority"], -r["event_id"]) for r in out]
+    assert ps == sorted(ps, reverse=True)
+    assert_matches_oracle(
+        ext_weighted_sample_priority(spark, str(tmp_path)),
+        _duck(tmp_path),
+        PRIORITY_SAMPLE_ORACLE,
+    )
+
+
+def test_f2_estimate_is_always_an_upper_bound(spark, sf_dir):
+    """CMS row sums over-count F2 by collision cross-terms; the min
+    across rows is still ≥ the exact moment — the one-sided guarantee
+    consumers rely on."""
+    from bigdata_spark_realtime_spark.plans.ext_sketch2 import (
+        ext_selfjoin_size_f2,
+    )
+
+    for r in ext_selfjoin_size_f2(spark, sf_dir).collect():
+        assert r["est_f2"] >= r["exact_f2"] > 0
