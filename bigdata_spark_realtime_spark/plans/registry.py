@@ -82,12 +82,12 @@ _PLAN_MODULES = (
     #
     # ROUND-10 ROTATION PLAN: precomputed and simulation-verified in
     # plans/ROTATION_R10.md (execute FIRST thing next round, one
-    # commit): all 13 round-9 pending queries enter the window, fillers
-    # refresh the oldest driver rows (ext_dedup, the r5-era streaming
-    # splits, transforms head, olap_extras). Round 11 then leads with
-    # the remaining r5/r7-era modules (scalar_fns, dedup, aggregations,
-    # sort_limit, windows, analytic, sessionize, transforms tail, tpch
-    # tail past slot 50).
+    # commit): a 27-module head packs 34 of the 43 pending queries into
+    # the 50-slot window with 16 verified-row refresh fillers; the nine
+    # stragglers (dedup-family trio, ext_annops pair, four
+    # streaming_queries twins) are enumerated there for the ROUND-11
+    # window, which also refreshes the r5-era rows (scalar_fns,
+    # transforms, sort_limit, windows, streaming splits).
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -155,6 +155,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_concurrency",
     "bigdata_spark_realtime_spark.plans.ext_sampling2",
     "bigdata_spark_realtime_spark.plans.ext_sketch2",
+    "bigdata_spark_realtime_spark.plans.ext_fkaudit",
+    "bigdata_spark_realtime_spark.plans.ext_paths",
+    "bigdata_spark_realtime_spark.plans.ext_zorder",
 )
 
 

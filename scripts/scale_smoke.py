@@ -62,6 +62,21 @@ SMOKE_QUERIES = (
     "ext_item_pagerank",
     "ext_event_transitions_daily",
     "approx_aggregates",
+    # round-9b additions (events family: calendar-bounded partials,
+    # capped graph, user-keyed windows — all shapes whose per-row cost
+    # must stay flat as rows replicate)
+    "ext_timeseries_gapfill",
+    "ext_trend_slope",
+    "ext_twa_value",
+    "ext_triangle_count",
+    "ext_seasonal_baseline",
+    "ext_changepoint_cusum",
+    "ext_concurrency_peak",
+    "ext_weighted_sample_priority",
+    "ext_selfjoin_size_f2",
+    "ext_session_paths",
+    "ext_ab_assignment",
+    "ext_zorder_key",
 )
 
 

@@ -527,3 +527,38 @@ def test_selfjoin_f2_prunes_to_type_and_user(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_selfjoin_size_f2")
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert schemas == {"user_id:bigint,event_type:string"}, schemas
+
+
+def test_fk_audit_scans_lineitem_once_and_broadcasts_dims(spark, sf_dir):
+    """The three lineitem FKs must resolve from ONE scan (one pruned
+    3-key ReadSchema occurrence), with part/supplier/customer/nation
+    parents broadcast."""
+    plan = _plan(spark, sf_dir, "ext_fk_audit")
+    li_scans = re.findall(
+        r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,"
+        r"l_suppkey:bigint>",
+        plan,
+    )
+    assert len(li_scans) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_session_paths_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_session_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_ab_assignment_prunes_to_user_and_type(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_ab_assignment")
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"user_id:bigint,event_type:string"}, schemas
+
+
+def test_zorder_census_is_single_shuffle_map_side_key(spark, sf_dir):
+    """The Morton key is map-side codegen; the census is one exchange
+    on the 1024-bucket key."""
+    plan = _plan(spark, sf_dir, "ext_zorder_key")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint"}, schemas

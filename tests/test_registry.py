@@ -63,6 +63,9 @@ EXPECTED_PER_MODULE = {
     "ext_concurrency": 1,
     "ext_sampling2": 1,
     "ext_sketch2": 2,
+    "ext_fkaudit": 1,
+    "ext_paths": 2,
+    "ext_zorder": 1,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -143,6 +146,10 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_weighted_sample_priority",
     "ext_selfjoin_size_f2",
     "stream_selfjoin_size",
+    "ext_fk_audit",
+    "ext_session_paths",
+    "ext_ab_assignment",
+    "ext_zorder_key",
 }
 
 #: The exact first-50 registration window the round-9 external

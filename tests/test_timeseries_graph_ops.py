@@ -356,3 +356,171 @@ def test_f2_estimate_is_always_an_upper_bound(spark, sf_dir):
 
     for r in ext_selfjoin_size_f2(spark, sf_dir).collect():
         assert r["est_f2"] >= r["exact_f2"] > 0
+
+
+def _write_star(tmp_path, orders, customers, lineitems, parts, suppliers, nations):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customers], pa.int64()),
+                "c_nationkey": pa.array([r[1] for r in customers], pa.int64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitems], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lineitems], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in lineitems], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(parts, pa.int64())}),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array(suppliers, pa.int64())}),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array(nations, pa.int64())}),
+        str(tmp_path / "nation.parquet"),
+    )
+
+
+def test_fk_audit_counts_planted_orphans(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_fkaudit import (
+        FK_AUDIT_ORACLE,
+        ext_fk_audit,
+    )
+
+    _write_star(
+        tmp_path,
+        # orders: custkey 99 missing twice, 98 once → 3 orphan rows, 2 keys
+        orders=[(1, 1), (2, 99), (3, 99), (4, 98), (5, 2)],
+        customers=[(1, 10), (2, 77)],  # nation 77 missing → 1 orphan
+        # lineitem: order 999 missing; part 555 missing twice; supp ok
+        lineitems=[(1, 100, 200), (999, 100, 200), (1, 555, 200), (2, 555, 200)],
+        parts=[100],
+        suppliers=[200],
+        nations=[10],
+    )
+    out = {r["relation"]: r for r in ext_fk_audit(spark, str(tmp_path)).collect()}
+    oc = out["orders->customer"]
+    assert (oc["n_child"], oc["n_orphans"], oc["n_orphan_keys"]) == (5, 3, 2)
+    lo = out["lineitem->orders"]
+    assert (lo["n_child"], lo["n_orphans"], lo["n_orphan_keys"]) == (4, 1, 1)
+    lp = out["lineitem->part"]
+    assert (lp["n_orphans"], lp["n_orphan_keys"]) == (2, 1)
+    assert out["lineitem->supplier"]["n_orphans"] == 0
+    cn = out["customer->nation"]
+    assert (cn["n_orphans"], cn["n_orphan_keys"]) == (1, 1)
+
+    con = _duck(tmp_path, table="orders")
+    for t in ("customer", "lineitem", "part", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_matches_oracle(ext_fk_audit(spark, str(tmp_path)), con, FK_AUDIT_ORACLE)
+
+
+def test_session_paths_orders_prefix_steps(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_paths import (
+        SESSION_PATHS_ORACLE,
+        ext_session_paths,
+    )
+
+    MIN_US = 60 * 1_000_000
+    rows = [
+        # user 1 session: view > click > purchase > click (4th dropped)
+        (1, T0, 1, "view", 1.0, None),
+        (2, T0 + MIN_US, 1, "click", 1.0, None),
+        (3, T0 + 2 * MIN_US, 1, "purchase", 1.0, None),
+        (4, T0 + 3 * MIN_US, 1, "click", 1.0, None),
+        # user 1 second session (gap > 30 min): view > click
+        (5, T0 + 120 * MIN_US, 1, "view", 1.0, None),
+        (6, T0 + 121 * MIN_US, 1, "click", 1.0, None),
+        # user 2: single-event session
+        (7, T0, 2, "signup", 1.0, None),
+        # user 2 same path as user 1's second session
+        (8, T0 + 240 * MIN_US, 2, "view", 1.0, None),
+        (9, T0 + 241 * MIN_US, 2, "click", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r["path"]: r["n_sessions"] for r in
+           ext_session_paths(spark, str(tmp_path)).collect()}
+    assert out == {"view>click>purchase": 1, "view>click": 2, "signup": 1}
+    assert_matches_oracle(
+        ext_session_paths(spark, str(tmp_path)),
+        _duck(tmp_path),
+        SESSION_PATHS_ORACLE,
+    )
+
+
+def test_ab_assignment_partitions_users_deterministically(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_paths import (
+        AB_ORACLE,
+        ext_ab_assignment,
+    )
+
+    rows = []
+    for uid in range(1, 41):
+        rows.append((uid * 2, T0 + uid, uid, "view", 1.0, None))
+        if uid % 4 == 0:
+            rows.append((uid * 2 + 1, T0 + uid + 1, uid, "purchase", 1.0, None))
+    _write_events(tmp_path, rows)
+    out = ext_ab_assignment(spark, str(tmp_path)).collect()
+    assert {r["arm"] for r in out} == {0, 1}
+    assert sum(r["n_users"] for r in out) == 40
+    assert sum(r["n_converted"] for r in out) == 10
+    for r in out:
+        assert r["conv_ppm"] == 1_000_000 * r["n_converted"] // r["n_users"]
+    # re-run: identical assignment (no RNG anywhere)
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, ext_ab_assignment(spark, str(tmp_path)).collect())
+    )
+    assert_matches_oracle(
+        ext_ab_assignment(spark, str(tmp_path)), _duck(tmp_path), AB_ORACLE
+    )
+
+
+def test_zorder_key_interleaves_known_bits(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_zorder import (
+        ZORDER_ORACLE,
+        ext_zorder_key,
+    )
+
+    # x = user_id = 3 (bits 0,1 → zkey bits 0,2 = 5);
+    # y = epoch-hour: T0 is hour 473352 ≡ 8 mod 16... pick user so the
+    # planted key is hand-checkable: y_bit i lands at 2i+1
+    hour = T0 // HOUR_US  # epoch hours at T0
+    y = hour % (1 << 16)
+    expect = 0
+    for i in range(16):
+        expect += ((3 >> i) & 1) << (2 * i)
+        expect += ((y >> i) & 1) << (2 * i + 1)
+    _write_events(tmp_path, [(1, T0, 3, "click", 1.0, None)])
+    [r] = ext_zorder_key(spark, str(tmp_path)).collect()
+    assert r["z_min"] == r["z_max"] == expect
+    assert r["zbucket"] == expect >> 22
+    assert r["n_events"] == 1
+    assert_matches_oracle(
+        ext_zorder_key(spark, str(tmp_path)), _duck(tmp_path), ZORDER_ORACLE
+    )
