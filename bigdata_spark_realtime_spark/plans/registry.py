@@ -158,6 +158,11 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_fkaudit",
     "bigdata_spark_realtime_spark.plans.ext_paths",
     "bigdata_spark_realtime_spark.plans.ext_zorder",
+    "bigdata_spark_realtime_spark.plans.ext_embaudit",
+    "bigdata_spark_realtime_spark.plans.ext_drift",
+    "bigdata_spark_realtime_spark.plans.ext_communities",
+    "bigdata_spark_realtime_spark.plans.ext_convert",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
 )
 
 

@@ -77,6 +77,12 @@ SMOKE_QUERIES = (
     "ext_session_paths",
     "ext_ab_assignment",
     "ext_zorder_key",
+    "ext_distribution_drift",
+    "ext_event_mix_gini",
+    "ext_item_communities",
+    "ext_time_to_convert",
+    "ext_embedding_dim_stats",
+    "ext_embedding_norm_census",
 )
 
 

@@ -562,3 +562,34 @@ def test_zorder_census_is_single_shuffle_map_side_key(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert schemas == {"ts:timestamp_ntz,user_id:bigint"}, schemas
+
+
+def test_embedding_dim_stats_single_shuffle_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_embedding_dim_stats")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # the [^>]* capture stops at array<float's inner bracket — the
+    # point stands: only the embedding column is read
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"embedding:array<float"}, schemas
+
+
+def test_distribution_drift_broadcasts_bounds_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_distribution_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_communities_persist_edges_across_rounds(spark, sf_dir):
+    """The k=3 label-propagation loop must reuse the persisted
+    edge frame, not replay the quota window per round."""
+    plan = _plan(spark, sf_dir, "ext_item_communities")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_to_convert_prunes_and_never_sorts_globally(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_time_to_convert")
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"ts:timestamp_ntz,user_id:bigint,event_type:string"}, schemas
+    assert not re.search(r"\bSort \[.*\], true", plan)

@@ -66,6 +66,11 @@ EXPECTED_PER_MODULE = {
     "ext_fkaudit": 1,
     "ext_paths": 2,
     "ext_zorder": 1,
+    "ext_embaudit": 2,
+    "ext_drift": 2,
+    "ext_communities": 1,
+    "ext_convert": 1,
+    "ext_stream_tail3": 3,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -150,6 +155,15 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_session_paths",
     "ext_ab_assignment",
     "ext_zorder_key",
+    "ext_embedding_dim_stats",
+    "ext_embedding_norm_census",
+    "ext_distribution_drift",
+    "ext_event_mix_gini",
+    "ext_item_communities",
+    "ext_time_to_convert",
+    "stream_zorder_census",
+    "stream_ab_assignment",
+    "stream_event_mix_gini",
 }
 
 #: The exact first-50 registration window the round-9 external

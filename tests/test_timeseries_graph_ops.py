@@ -524,3 +524,180 @@ def test_zorder_key_interleaves_known_bits(spark, tmp_path):
     assert_matches_oracle(
         ext_zorder_key(spark, str(tmp_path)), _duck(tmp_path), ZORDER_ORACLE
     )
+
+
+def _write_embeddings(tmp_path, vecs, labels=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels or [0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def test_embedding_audit_flags_dead_dim_and_zero_vector(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_embaudit import (
+        DIM_STATS_ORACLE,
+        NORM_CENSUS_ORACLE,
+        ext_embedding_dim_stats,
+        ext_embedding_norm_census,
+    )
+
+    _write_embeddings(
+        tmp_path,
+        [
+            [0.0, 0.5],   # dim0 dead in every vector
+            [0.0, -0.25],
+            [0.0, 0.0],   # fully zero vector → octave-0 norm bucket
+        ],
+    )
+    dims = {r["dim"]: r for r in
+            ext_embedding_dim_stats(spark, str(tmp_path)).collect()}
+    assert dims[0]["n_zero"] == 3 and dims[0]["sum_q"] == 0
+    assert dims[1]["n_zero"] == 1
+    assert dims[1]["max_q"] == int(0.5 * (1 << 20))
+    # float32(-0.25) is exact; floor(-0.25 * 2^20) = -262144
+    assert dims[1]["min_q"] == -262144
+    census = {r["octave"]: r for r in
+              ext_embedding_norm_census(spark, str(tmp_path)).collect()}
+    assert census[0]["n_vectors"] == 1  # the zero vector
+    con = _duck(tmp_path, table="embeddings")
+    assert_matches_oracle(
+        ext_embedding_dim_stats(spark, str(tmp_path)), con, DIM_STATS_ORACLE
+    )
+    assert_matches_oracle(
+        ext_embedding_norm_census(spark, str(tmp_path)), con, NORM_CENSUS_ORACLE
+    )
+
+
+def test_distribution_drift_maxes_on_disjoint_halves(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_drift import (
+        DRIFT_ORACLE,
+        ext_distribution_drift,
+    )
+
+    DAY_US = 24 * HOUR_US
+    rows = []
+    eid = 0
+    for d in range(2):
+        for i in range(10):
+            eid += 1
+            # 'shift': 1.00-cent regime on day 0, 16.00 on day 1 →
+            # disjoint octave buckets → KS = 1 exactly
+            rows.append(
+                (eid, T0 + d * DAY_US + i, 1, "shift",
+                 1.0 if d == 0 else 16.0, None)
+            )
+            eid += 1
+            # 'stable': identical distribution both days → KS = 0
+            rows.append((eid, T0 + d * DAY_US + i, 1, "stable", 2.0, None))
+    _write_events(tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           ext_distribution_drift(spark, str(tmp_path)).collect()}
+    assert out["shift"]["drift_ppm"] == 1_000_000
+    assert out["shift"]["ks_num"] == 10 * 10
+    assert out["stable"]["drift_ppm"] == 0
+    assert_matches_oracle(
+        ext_distribution_drift(spark, str(tmp_path)),
+        _duck(tmp_path),
+        DRIFT_ORACLE,
+    )
+
+
+def test_event_mix_gini_pure_and_even_days(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_drift import (
+        GINI_ORACLE,
+        ext_event_mix_gini,
+    )
+
+    DAY_US = 24 * HOUR_US
+    rows = []
+    eid = 0
+    for _ in range(4):  # day 0: all clicks → impurity 0
+        eid += 1
+        rows.append((eid, T0 + eid, 1, "click", 1.0, None))
+    for i in range(4):  # day 1: 2 clicks + 2 views → 1e6 − 2·500² = 5e5
+        eid += 1
+        rows.append(
+            (eid, T0 + DAY_US + eid, 1, "click" if i < 2 else "view", 1.0, None)
+        )
+    _write_events(tmp_path, rows)
+    out = {r["day"]: r for r in ext_event_mix_gini(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"]["gini_ppm"] == 0
+    assert out["2024-01-02"]["gini_ppm"] == 500_000
+    assert out["2024-01-02"]["n_types"] == 2
+    assert_matches_oracle(
+        ext_event_mix_gini(spark, str(tmp_path)), _duck(tmp_path), GINI_ORACLE
+    )
+
+
+def test_communities_fixed_k_labels_on_path_graph(spark, tmp_path):
+    """Path 1-2-3-4-5: after exactly 3 min-label rounds the labels are
+    {1:1, 2:1, 3:1, 4:1, 5:2} (hand-simulated) — pins BOTH the
+    propagation semantics and the fixed iteration count."""
+    from bigdata_spark_realtime_spark.plans.ext_communities import (
+        COMMUNITIES_ORACLE,
+        ext_item_communities,
+    )
+
+    _write_events(
+        tmp_path,
+        _cooc_rows([(1, [1, 2]), (2, [2, 3]), (3, [3, 4]), (4, [4, 5])]),
+    )
+    out = {r["item"]: r["community"] for r in
+           ext_item_communities(spark, str(tmp_path)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+    assert_matches_oracle(
+        ext_item_communities(spark, str(tmp_path)),
+        _duck(tmp_path),
+        COMMUNITIES_ORACLE,
+    )
+
+
+def test_communities_disjoint_cliques_get_their_minima(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_communities import (
+        ext_item_communities,
+    )
+
+    _write_events(
+        tmp_path, _cooc_rows([(1, [10, 11, 12]), (2, [20, 21, 22])])
+    )
+    out = {r["item"]: r["community"] for r in
+           ext_item_communities(spark, str(tmp_path)).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_time_to_convert_strict_order_and_rank_median(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_convert import (
+        TIME_TO_CONVERT_ORACLE,
+        ext_time_to_convert,
+    )
+
+    SEC_US = 1_000_000
+    rows = [
+        (1, T0, 1, "view", 1.0, None),
+        (2, T0 + 60 * SEC_US, 1, "purchase", 1.0, None),
+        (3, T0, 2, "view", 1.0, None),
+        (4, T0 + 120 * SEC_US, 2, "purchase", 1.0, None),
+        # user 3: purchase BEFORE first view → never a converter
+        (5, T0, 3, "purchase", 1.0, None),
+        (6, T0 + 10 * SEC_US, 3, "view", 1.0, None),
+        # user 4: view only
+        (7, T0, 4, "view", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    [r] = ext_time_to_convert(spark, str(tmp_path)).collect()
+    assert r["cohort_day"] == "2024-01-01"
+    assert r["n_converted"] == 2
+    assert r["median_latency_ms"] == 60_000  # lower median of {60s, 120s}
+    assert r["max_latency_ms"] == 120_000
+    assert_matches_oracle(
+        ext_time_to_convert(spark, str(tmp_path)),
+        _duck(tmp_path),
+        TIME_TO_CONVERT_ORACLE,
+    )
