@@ -88,31 +88,27 @@ GROUP BY event_type, n1, n2
 """
 
 
-@register("ext_distribution_drift", oracle=DRIFT_ORACLE)
-def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer two-sample KS between the first and second half of the
-    feed, per event type: octave-bucket histogram → cumulative
-    cross-multiplied gap → ppm drift score."""
-    v = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("value") > 0)
-        .select(
-            "event_type",
-            F.expr("unix_micros(ts) div 86400000000").alias("day"),
-            F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
-        )
-    )
-    bounds = v.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-    keyed = v.crossJoin(F.broadcast(bounds)).select(
+def _drift_from_day_buckets(d: DataFrame) -> DataFrame:
+    """KS projection over (event_type, day, bkt, c) partials — shared
+    by the batch operator and the streaming twin. The midpoint split
+    happens HERE, on the bounded partial frame (bounds come from the
+    partials themselves — one tiny aggregate broadcast back), so the
+    raw feed is scanned exactly once by whichever side built `d`."""
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    d = scoped_persist(d, "drift_partials", keep=1)
+    bounds = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    keyed = d.crossJoin(F.broadcast(bounds)).select(
         "event_type",
+        "bkt",
         F.expr("CASE WHEN 2 * day <= mn + mx THEN 1 ELSE 2 END").alias("half"),
-        F.expr(_OCTAVE_SPARK).alias("bkt"),
+        "c",
     )
     hist = keyed.groupBy("event_type", "bkt").agg(
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("c1"),
-        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        F.sum(F.when(F.col("half") == 2, F.col("c")).otherwise(0))
         .cast("bigint")
         .alias("c2"),
     )
@@ -138,6 +134,33 @@ def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN n1 = 0 OR n2 = 0 THEN CAST({PPM} AS BIGINT) "
             f"ELSE ({PPM} * ks_num) div (n1 * n2) END"
         ).alias("drift_ppm"),
+    )
+
+
+def _day_buckets(ev: DataFrame) -> DataFrame:
+    """(event_type, day, bkt, c) partials from raw events — the one
+    full scan behind the KS drift operator and its stream twin."""
+    return (
+        ev.where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+        )
+        .withColumn("bkt", F.expr(_OCTAVE_SPARK))
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+@register("ext_distribution_drift", oracle=DRIFT_ORACLE)
+def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer two-sample KS between the first and second half of the
+    feed, per event type: one raw reduction to (type, day, bucket)
+    partials, midpoint split on the partials, cumulative
+    cross-multiplied gap → ppm drift score."""
+    return _drift_from_day_buckets(
+        _day_buckets(load_table(spark, sf_dir, "events"))
     )
 
 

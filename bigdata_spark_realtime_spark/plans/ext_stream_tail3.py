@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import hashing as H
 from bigdata_spark_realtime_spark.plans.ext_drift import (
+    DRIFT_ORACLE,
     GINI_ORACLE,
     _gini_from_counts,
 )
+from bigdata_spark_realtime_spark.plans.ext_timeseries import GAPFILL_ORACLE
 from bigdata_spark_realtime_spark.plans.ext_paths import AB_ORACLE, PPM
 from bigdata_spark_realtime_spark.plans.ext_zorder import (
     ZBITS,
@@ -123,3 +125,69 @@ def stream_event_mix_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", F.col("c").cast("bigint").alias("c")
     )
     return _gini_from_counts(d)
+
+
+@register("stream_timeseries_gapfill", oracle=GAPFILL_ORACLE)
+def stream_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resample as continuous intake — the live metrics
+    dashboard's dense grid: hourly (count, cents-sum) partials
+    accumulate as one complete-mode aggregation (associative,
+    calendar-bounded state), then the sequence-explode grid and the
+    LOCF window run on the drained partials exactly like the batch
+    operator. Oracle = the batch SQL."""
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        _gapfill_from_hourly,
+    )
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+        _events_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    state = ev.groupBy(
+        "event_type", F.date_trunc("hour", "event_time").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("v100"),
+    )
+    hourly = _drain_to_memory(state, spark, output_mode="complete").select(
+        "event_type",
+        "h",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("v100").cast("bigint").alias("v100"),
+    )
+    return _gapfill_from_hourly(hourly, "stream_gapfill")
+
+
+@register("stream_distribution_drift", oracle=DRIFT_ORACLE)
+def stream_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring as continuous intake — the live data-quality
+    gate: (type, day, octave-bucket) counts accumulate as one
+    complete-mode aggregation (bounded by days × types × ~60 buckets),
+    then the midpoint split and cross-multiplied KS run on the drained
+    partials exactly like the batch operator. Oracle = the batch SQL."""
+    from bigdata_spark_realtime_spark.plans.ext_drift import (
+        _OCTAVE_SPARK,
+        _drift_from_day_buckets,
+    )
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+        _events_stream,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    state = (
+        ev.where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.expr("unix_micros(event_time) div 86400000000").alias("day"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v100"),
+        )
+        .withColumn("bkt", F.expr(_OCTAVE_SPARK))
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = _drain_to_memory(state, spark, output_mode="complete").select(
+        "event_type", "day", "bkt", F.col("c").cast("bigint").alias("c")
+    )
+    return _drift_from_day_buckets(d)

@@ -105,20 +105,15 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_timeseries_gapfill", oracle=GAPFILL_ORACLE)
-def ext_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense per-type hourly grid with last-observation-carried-forward
-    value: one map-side-combined shuffle to hourly partials, a
-    `sequence()` explode over the per-type [min, max] hour span (grid
-    rows are calendar-bounded), a left join back, and an
-    ignore-nulls `last()` window per type — never touches raw rows
-    twice."""
+def _gapfill_from_hourly(hourly: DataFrame, scope: str) -> DataFrame:
+    """Grid + LOCF projection over (event_type, h, cnt, v100) hourly
+    partials — shared by the batch operator and the streaming twin."""
     from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
 
     # both the grid bounds AND the left join consume `hourly`; without a
     # persist Catalyst replays the plan per consumer — two full raw
     # scans at 100 TB for a frame that is calendar-bounded tiny
-    hourly = scoped_persist(_hourly(spark, sf_dir), "ts_gapfill", keep=1)
+    hourly = scoped_persist(hourly, scope, keep=1)
     grid = (
         hourly.groupBy("event_type")
         .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
@@ -129,7 +124,19 @@ def ext_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+    # rename the join side: grid derives from `hourly` itself, and when
+    # `hourly` is a drained memory-sink table the self-join would hit
+    # Spark's conflicting-attribute internal error (known pitfall of
+    # frames derived from one v2 relation)
+    h2 = (
+        hourly.withColumnRenamed("event_type", "et2")
+        .withColumnRenamed("h", "h2")
+    )
+    joined = grid.join(
+        h2,
+        (F.col("event_type") == F.col("et2")) & (F.col("h") == F.col("h2")),
+        "left",
+    ).select(
         "event_type",
         "h",
         F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
@@ -148,6 +155,17 @@ def ext_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v100_ff"),
     )
+
+
+@register("ext_timeseries_gapfill", oracle=GAPFILL_ORACLE)
+def ext_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly grid with last-observation-carried-forward
+    value: one map-side-combined shuffle to hourly partials, a
+    `sequence()` explode over the per-type [min, max] hour span (grid
+    rows are calendar-bounded), a left join back, and an
+    ignore-nulls `last()` window per type — never touches raw rows
+    twice."""
+    return _gapfill_from_hourly(_hourly(spark, sf_dir), "ts_gapfill")
 
 
 #: daily partials + regression sums, shared verbatim by the batch

@@ -163,6 +163,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_communities",
     "bigdata_spark_realtime_spark.plans.ext_convert",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
+    "bigdata_spark_realtime_spark.plans.ext_windows2",
 )
 
 

@@ -83,6 +83,9 @@ SMOKE_QUERIES = (
     "ext_time_to_convert",
     "ext_embedding_dim_stats",
     "ext_embedding_norm_census",
+    "ext_trending_items",
+    "ext_bounce_rate",
+    "ext_balance_percentile",
 )
 
 

@@ -593,3 +593,23 @@ def test_time_to_convert_prunes_and_never_sorts_globally(spark, sf_dir):
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert schemas == {"ts:timestamp_ntz,user_id:bigint,event_type:string"}, schemas
     assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_trending_items_windows_on_partials_topk_rank(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_trending_items")
+    assert not re.search(r"\bSort \[.*\], true", plan)
+    schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert schemas == {"ts:timestamp_ntz,event_type:string,props:string"}, schemas
+
+
+def test_inventory_drawdown_is_single_part_shuffle(spark, sf_dir):
+    """The two running windows and the final groupBy all share the
+    l_partkey partitioning — exactly one hash exchange of fact rows."""
+    plan = _plan(spark, sf_dir, "ext_inventory_drawdown")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_balance_percentile_single_nation_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_balance_percentile")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

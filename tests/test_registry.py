@@ -70,7 +70,8 @@ EXPECTED_PER_MODULE = {
     "ext_drift": 2,
     "ext_communities": 1,
     "ext_convert": 1,
-    "ext_stream_tail3": 3,
+    "ext_stream_tail3": 5,
+    "ext_windows2": 4,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -164,6 +165,12 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_zorder_census",
     "stream_ab_assignment",
     "stream_event_mix_gini",
+    "ext_trending_items",
+    "ext_bounce_rate",
+    "ext_inventory_drawdown",
+    "ext_balance_percentile",
+    "stream_timeseries_gapfill",
+    "stream_distribution_drift",
 }
 
 #: The exact first-50 registration window the round-9 external

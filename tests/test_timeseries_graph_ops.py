@@ -701,3 +701,125 @@ def test_time_to_convert_strict_order_and_rank_median(spark, tmp_path):
         _duck(tmp_path),
         TIME_TO_CONVERT_ORACLE,
     )
+
+
+def test_trending_items_ranks_risers_per_hour(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_windows2 import (
+        TRENDING_ORACLE,
+        ext_trending_items,
+    )
+
+    rows = []
+    eid = 0
+    # hour 0: item 1 ×2, item 2 ×5; hour 1: item 1 ×6 (rise 4),
+    # item 2 ×5 (rise 0), item 3 ×3 (new → rise 3)
+    plan = {0: {1: 2, 2: 5}, 1: {1: 6, 2: 5, 3: 3}}
+    for h, items in plan.items():
+        for item, n in items.items():
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, T0 + h * HOUR_US + eid, eid, "view", 1.0,
+                     '{"k": %d}' % item)
+                )
+    _write_events(tmp_path, rows)
+    out = [(r["hr"], r["item"], r["rise"]) for r in
+           ext_trending_items(spark, str(tmp_path)).collect()]
+    h1 = sorted(t for t in out if t[0] == "2024-01-01 01")
+    assert (("2024-01-01 01", 1, 4) in h1
+            and ("2024-01-01 01", 3, 3) in h1
+            and ("2024-01-01 01", 2, 0) in h1)
+    assert_matches_oracle(
+        ext_trending_items(spark, str(tmp_path)), _duck(tmp_path),
+        TRENDING_ORACLE,
+    )
+
+
+def test_bounce_rate_counts_single_event_sessions(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_windows2 import (
+        BOUNCE_ORACLE,
+        ext_bounce_rate,
+    )
+
+    MIN_US = 60 * 1_000_000
+    rows = [
+        # user 1: 2-event session (not a bounce)
+        (1, T0, 1, "view", 1.0, None),
+        (2, T0 + MIN_US, 1, "click", 1.0, None),
+        # user 1: later single-event session (bounce)
+        (3, T0 + 120 * MIN_US, 1, "view", 1.0, None),
+        # user 2: single-event session (bounce)
+        (4, T0, 2, "view", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    [r] = ext_bounce_rate(spark, str(tmp_path)).collect()
+    assert (r["n_sessions"], r["n_bounces"]) == (3, 2)
+    assert r["bounce_ppm"] == 1_000_000 * 2 // 3
+    assert_matches_oracle(
+        ext_bounce_rate(spark, str(tmp_path)), _duck(tmp_path), BOUNCE_ORACLE
+    )
+
+
+def test_inventory_drawdown_tracks_peak_gap(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_windows2 import (
+        DRAWDOWN_ORACLE,
+        ext_inventory_drawdown,
+    )
+
+    # part 1 flow (date order): +10 (R), -3, -8, +5 (R)
+    # balance: 10, 7, -1, 4 ; peak: 10,10,10,10 ; drawdown max = 11
+    days = ["1995-01-0%d" % d for d in (1, 2, 3, 4)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_linenumber": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_quantity": pa.array([10.0, 3.0, 8.0, 5.0], pa.float64()),
+            "l_returnflag": pa.array(["R", "N", "N", "R"], pa.string()),
+            "l_shipdate": pa.array(
+                [__import__("datetime").datetime.fromisoformat(d) for d in days],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    [r] = ext_inventory_drawdown(spark, str(tmp_path)).collect()
+    assert r["partkey"] == 1 and r["n_moves"] == 4
+    assert r["peak_balance"] == 10
+    assert r["max_drawdown"] == 11
+    assert_matches_oracle(
+        ext_inventory_drawdown(spark, str(tmp_path)),
+        _duck(tmp_path, table="lineitem"),
+        DRAWDOWN_ORACLE,
+    )
+
+
+def test_balance_percentile_endpoints_and_singleton(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_windows2 import (
+        PERCENTILE_ORACLE,
+        ext_balance_percentile,
+    )
+
+    tbl = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_nationkey": pa.array([0, 0, 0, 1], pa.int64()),
+            "s_acctbal": pa.array([5.0, 10.0, 20.0, 7.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "supplier.parquet"))
+    out = {r["s_suppkey"]: r["pct_ppm"] for r in
+           ext_balance_percentile(spark, str(tmp_path)).collect()}
+    assert out[1] == 0 and out[3] == 1_000_000 and out[2] == 500_000
+    assert out[4] == 0  # singleton nation → defined as 0, no div-by-zero
+    assert_matches_oracle(
+        ext_balance_percentile(spark, str(tmp_path)),
+        _duck(tmp_path, table="supplier"),
+        PERCENTILE_ORACLE,
+    )
