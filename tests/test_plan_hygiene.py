@@ -613,3 +613,15 @@ def test_inventory_drawdown_is_single_part_shuffle(spark, sf_dir):
 def test_balance_percentile_single_nation_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_balance_percentile")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_decayed_leaderboard_take_ordered_broadcast_anchor(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_decayed_leaderboard")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_priority_sample_single_stratum_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_weighted_sample_stratified")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -72,6 +72,7 @@ EXPECTED_PER_MODULE = {
     "ext_convert": 1,
     "ext_stream_tail3": 5,
     "ext_windows2": 4,
+    "ext_decay": 2,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -171,6 +172,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_balance_percentile",
     "stream_timeseries_gapfill",
     "stream_distribution_drift",
+    "ext_decayed_leaderboard",
+    "ext_weighted_sample_stratified",
 }
 
 #: The exact first-50 registration window the round-9 external

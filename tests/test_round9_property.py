@@ -1,0 +1,247 @@
+"""Property-based contracts (hypothesis) for the round-9 time-series /
+sweep-line / sampling math — pinned on the DUCKDB ORACLE side, which
+the cross-engine mirrors then carry to Spark. Each property runs the
+registered oracle SQL over a generated in-memory table and checks it
+against an independent pure-python reference (or an algebraic bound),
+so the SQL encoding of the algorithm — not just one fixture's answer —
+is what's verified. DuckDB-only per example keeps the suite fast
+(no Spark job per hypothesis case).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+HOUR_US = 3_600 * 1_000_000
+T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def _events_con(rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)"""
+    df = pd.DataFrame(
+        {
+            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "ts": pd.Series(
+                [pd.Timestamp(r[1], unit="us") for r in rows],
+                dtype="datetime64[us]",
+            ),
+            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
+            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
+            "value": pd.Series([r[4] for r in rows], dtype="float64"),
+            "props": pd.Series([None] * len(rows), dtype="object"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    return con
+
+
+ev_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 72),          # hour offset
+        st.integers(0, 3_599),       # second within hour
+        st.integers(1, 5),           # user
+        st.sampled_from(["click", "view"]),
+        st.integers(1, 9_999),       # cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_rows(raw):
+    return [
+        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, cents / 100.0)
+        for i, (h, s, u, t, cents) in enumerate(raw)
+    ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_gapfill_oracle_matches_python_locf(raw):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        GAPFILL_ORACLE,
+    )
+
+    rows = _mk_rows(raw)
+    con = _events_con(rows)
+    got = con.sql(GAPFILL_ORACLE).df()
+    # python reference: per type, dense grid + LOCF over hourly sums
+    per_type: dict[str, dict[int, list[int]]] = {}
+    for _, ts_us, _, t, v in rows:
+        h = ts_us // HOUR_US
+        per_type.setdefault(t, {}).setdefault(h, [0, 0])
+        per_type[t][h][0] += 1
+        per_type[t][h][1] += math.floor(v * 100)
+    expect = {}
+    for t, hours in per_type.items():
+        last = 0
+        for h in range(min(hours), max(hours) + 1):
+            cnt, v100 = hours.get(h, (0, None))
+            if v100 is not None:
+                last = v100
+            key = pd.Timestamp((h * HOUR_US) // 1_000_000, unit="s").strftime(
+                "%Y-%m-%d %H"
+            )
+            expect[(t, key)] = (cnt, 0 if h in hours else 1, last)
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        assert expect[(r.event_type, r.hr)] == (r.cnt, r.gap, r.v100_ff)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_twa_oracle_bounded_by_value_range(raw):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import TWA_ORACLE
+
+    rows = _mk_rows(raw)
+    con = _events_con(rows)
+    got = con.sql(TWA_ORACLE).df()
+    v100 = {}
+    for _, _, u, _, v in rows:
+        v100.setdefault(u, []).append(math.floor(v * 100))
+    for r in got.itertuples():
+        lo, hi = min(v100[r.user_id]), max(v100[r.user_id])
+        # truncating DIV can land one below the true weighted mean
+        assert lo - 1 <= r.twa_cents <= hi
+        assert r.twa_den > 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_drift_and_gini_oracles_stay_in_ppm_range(raw):
+    from bigdata_spark_realtime_spark.plans.ext_drift import (
+        DRIFT_ORACLE,
+        GINI_ORACLE,
+    )
+
+    con = _events_con(_mk_rows(raw))
+    for r in con.sql(DRIFT_ORACLE).df().itertuples():
+        assert 0 <= r.drift_ppm <= 1_000_000
+        assert r.ks_num <= r.n1 * r.n2
+    for r in con.sql(GINI_ORACLE).df().itertuples():
+        assert 0 <= r.gini_ppm < 1_000_000
+        if r.n_types == 1:
+            assert r.gini_ppm == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_concurrency_oracle_matches_python_sweep(raw):
+    from bigdata_spark_realtime_spark.plans.ext_concurrency import (
+        CONCURRENCY_ORACLE,
+        _GAP_MS,
+    )
+
+    rows = _mk_rows(raw)
+    con = _events_con(rows)
+    got = {
+        r.day: r.peak_concurrency
+        for r in con.sql(CONCURRENCY_ORACLE).df().itertuples()
+    }
+    # python reference: gap-sessionize, sweep boundaries globally
+    by_user: dict[int, list[int]] = {}
+    for _, ts_us, u, _, _ in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(u, []).append(ts_us // 1000)
+    bounds = []
+    for u, ts_list in by_user.items():
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if t - prev > _GAP_MS:
+                bounds.append((start, prev))
+                start = t
+            prev = t
+        bounds.append((start, prev))
+    marks = []
+    for st_ms, en_ms in bounds:
+        marks.append((st_ms, 1))
+        marks.append((en_ms, -1))
+    marks.sort(key=lambda m: (m[0], -m[1]))
+    cur = 0
+    peak: dict[str, int] = {}
+    for t_ms, d in marks:
+        cur += d
+        day = pd.Timestamp(t_ms, unit="ms").strftime("%Y-%m-%d")
+        peak[day] = max(peak.get(day, -(10**9)), cur)
+    assert got == peak
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+def test_morton_oracle_formula_interleaves_exactly(x, y):
+    from bigdata_spark_realtime_spark.plans.ext_zorder import _morton_duck
+
+    con = duckdb.connect()
+    # cast the literals: the real oracle's x/y are BIGINT columns, and
+    # bare integer literals are 32-bit INTEGER in DuckDB (bit-15 of y
+    # shifts to position 31 and would wrap)
+    (got,) = con.execute(
+        f"SELECT {_morton_duck(f'CAST({x} AS BIGINT)', f'CAST({y} AS BIGINT)')}"
+    ).fetchone()
+    expect = 0
+    for i in range(16):
+        expect |= ((x >> i) & 1) << (2 * i)
+        expect |= ((y >> i) & 1) << (2 * i + 1)
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(3, 10),  # hours before the shift
+    st.integers(3, 10),  # hours after
+    st.integers(4, 9),   # post-shift rate multiplier
+)
+def test_cusum_oracle_peaks_at_planted_boundary(n1, n2, k):
+    from bigdata_spark_realtime_spark.plans.ext_timeseries2 import (
+        CUSUM_ORACLE,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(n1 + n2):
+        for _ in range(1 if h < n1 else k):
+            eid += 1
+            rows.append((eid, T0 + h * HOUR_US + eid, 1, "shift", 1.0))
+    con = _events_con(rows)
+    [r] = list(con.sql(CUSUM_ORACLE).df().itertuples())
+    boundary = pd.Timestamp(
+        ((n1 - 1) * HOUR_US + T0) // 1_000_000, unit="s"
+    ).strftime("%Y-%m-%d %H")
+    assert r.cp_hour == boundary
+    assert r.shift_shape == "down_then_up"
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_decay_oracle_bounded_and_anchored(raw):
+    from bigdata_spark_realtime_spark.plans.ext_decay import DECAY_ORACLE
+
+    # give every event an item id through props
+    rows = _mk_rows(raw)
+    df_rows = [
+        (eid, ts, u, t, v, '{"k": %d}' % (eid % 7)) for eid, ts, u, t, v in rows
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": pd.Series([r[0] for r in df_rows], dtype="int64"),
+            "ts": pd.Series(
+                [pd.Timestamp(r[1], unit="us") for r in df_rows],
+                dtype="datetime64[us]",
+            ),
+            "user_id": pd.Series([r[2] for r in df_rows], dtype="int64"),
+            "event_type": pd.Series([r[3] for r in df_rows], dtype="object"),
+            "value": pd.Series([r[4] for r in df_rows], dtype="float64"),
+            "props": pd.Series([r[5] for r in df_rows], dtype="object"),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    got = con.sql(DECAY_ORACLE).df()
+    total = sum(math.floor(v * 100) for _, _, _, _, v in rows)
+    for r in got.itertuples():
+        assert 0 <= r.score <= total
