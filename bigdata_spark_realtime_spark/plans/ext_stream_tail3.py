@@ -1,10 +1,12 @@
 """Tail-registration shim: streaming twins for the round-9 batch ops.
 
-Three more batch operators whose state is associative get continuous-
-intake twins (the engine's standing rule: any complete-mode-expressible
-aggregate ships with a stream twin sharing the batch oracle). Defined
-here, at the end of the registry walk, to respect the pinned gate
-window's splice rule (plans/registry._PLAN_MODULES).
+Five batch operators whose state is associative get continuous-intake
+twins here (the engine's standing rule: any complete-mode-expressible
+aggregate ships with a stream twin sharing the batch oracle): the
+Z-order census, the A/B scoreboard, the mix-Gini monitor, the
+gap-filled resample and the KS drift gate. Defined at the end of the
+registry walk to respect the pinned gate window's splice rule
+(plans/registry._PLAN_MODULES).
 """
 
 from __future__ import annotations

@@ -165,6 +165,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
     "bigdata_spark_realtime_spark.plans.ext_windows2",
     "bigdata_spark_realtime_spark.plans.ext_decay",
+    "bigdata_spark_realtime_spark.plans.ext_rolling",
 )
 
 

@@ -625,3 +625,17 @@ def test_decayed_leaderboard_take_ordered_broadcast_anchor(spark, sf_dir):
 def test_stratified_priority_sample_single_stratum_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_weighted_sample_stratified")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_rolling_wau_persists_user_days_no_window_distinct(spark, sf_dir):
+    """WAU must come from the bounded explode + keyed count-distinct —
+    no sliding window — and the distinct (user, day) frame must persist
+    (bounds + explode + dau all consume it)."""
+    plan = _plan(spark, sf_dir, "ext_rolling_wau")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_revenue_unpivot_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_revenue_unpivot")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -73,6 +73,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail3": 5,
     "ext_windows2": 4,
     "ext_decay": 2,
+    "ext_rolling": 3,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -174,6 +175,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_distribution_drift",
     "ext_decayed_leaderboard",
     "ext_weighted_sample_stratified",
+    "ext_rolling_wau",
+    "ext_fulfillment_latency",
+    "ext_revenue_unpivot",
 }
 
 #: The exact first-50 registration window the round-9 external

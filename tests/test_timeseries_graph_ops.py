@@ -823,3 +823,32 @@ def test_balance_percentile_endpoints_and_singleton(spark, tmp_path):
         _duck(tmp_path, table="supplier"),
         PERCENTILE_ORACLE,
     )
+
+
+def test_rolling_wau_window_semantics(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_rolling import (
+        ROLLING_WAU_ORACLE,
+        ext_rolling_wau,
+    )
+
+    DAY_US = 24 * HOUR_US
+    rows = [
+        # user 1 active day 0; user 2 active day 0 and day 8
+        (1, T0, 1, "click", 1.0, None),
+        (2, T0 + 10, 2, "click", 1.0, None),
+        (3, T0 + 8 * DAY_US, 2, "click", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r["day"]: r for r in ext_rolling_wau(spark, str(tmp_path)).collect()}
+    # report days clamp to the observed span; days whose whole 7-day
+    # window is silent (2024-01-08 here) emit no row (WAU = 0)
+    assert len(out) == 8 and "2024-01-08" not in out
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["wau"]) == (2, 2)
+    # day 7 of the window still sees both day-0 users; day 8 does not
+    assert out["2024-01-07"]["wau"] == 2 and out["2024-01-07"]["dau"] == 0
+    assert out["2024-01-09"]["wau"] == 1  # only user 2's day-8 activity
+    assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000
+    assert_matches_oracle(
+        ext_rolling_wau(spark, str(tmp_path)), _duck(tmp_path),
+        ROLLING_WAU_ORACLE,
+    )
