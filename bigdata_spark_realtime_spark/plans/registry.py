@@ -166,6 +166,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_windows2",
     "bigdata_spark_realtime_spark.plans.ext_decay",
     "bigdata_spark_realtime_spark.plans.ext_rolling",
+    "bigdata_spark_realtime_spark.plans.ext_cohortval",
 )
 
 

@@ -639,3 +639,18 @@ def test_rolling_wau_persists_user_days_no_window_distinct(spark, sf_dir):
 def test_revenue_unpivot_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_revenue_unpivot")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_conversion_by_decile_broadcasts_binmap_no_user_rank(spark, sf_dir):
+    """Decile assignment must come from the broadcast octave-histogram
+    map — never a global rank over users."""
+    plan = _plan(spark, sf_dir, "ext_conversion_by_decile")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_cohort_value_persists_reduced_events(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_cohort_value")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)

@@ -74,6 +74,7 @@ EXPECTED_PER_MODULE = {
     "ext_windows2": 4,
     "ext_decay": 2,
     "ext_rolling": 3,
+    "ext_cohortval": 2,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -178,6 +179,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_rolling_wau",
     "ext_fulfillment_latency",
     "ext_revenue_unpivot",
+    "ext_conversion_by_decile",
+    "ext_cohort_value",
 }
 
 #: The exact first-50 registration window the round-9 external

@@ -852,3 +852,54 @@ def test_rolling_wau_window_semantics(spark, tmp_path):
         ext_rolling_wau(spark, str(tmp_path)), _duck(tmp_path),
         ROLLING_WAU_ORACLE,
     )
+
+
+def test_cohort_value_accumulates_offsets(spark, tmp_path):
+    from bigdata_spark_realtime_spark.plans.ext_cohortval import (
+        COHORT_VALUE_ORACLE,
+        ext_cohort_value,
+    )
+
+    DAY_US = 24 * HOUR_US
+    rows = [
+        # user 1 first seen day 0 (view), buys 1.00 on day 0 and 2.00 day 2
+        (1, T0, 1, "view", 5.0, None),
+        (2, T0 + 1, 1, "purchase", 1.0, None),
+        (3, T0 + 2 * DAY_US, 1, "purchase", 2.0, None),
+        # user 2 first seen day 1, buys 4.00 on day 3 (offset 2)
+        (4, T0 + DAY_US, 2, "view", 1.0, None),
+        (5, T0 + 3 * DAY_US, 2, "purchase", 4.0, None),
+    ]
+    _write_events(tmp_path, rows)
+    out = {(r["cohort_day"], r["day_offset"]): r for r in
+           ext_cohort_value(spark, str(tmp_path)).collect()}
+    assert out[("2024-01-01", 0)]["cents"] == 100
+    assert out[("2024-01-01", 2)]["cum_cents"] == 300
+    assert out[("2024-01-02", 2)]["cents"] == 400
+    assert len(out) == 3
+    assert_matches_oracle(
+        ext_cohort_value(spark, str(tmp_path)), _duck(tmp_path),
+        COHORT_VALUE_ORACLE,
+    )
+
+
+def test_conversion_decile_partitions_all_users(spark, sf_dir):
+    """Deciles cover every user exactly once, decile ids are within
+    range and monotone in engagement (min_events of decile d+1 >=
+    max_events boundary bucket of d is NOT guaranteed — octave buckets
+    — but user totals must partition)."""
+    from bigdata_spark_realtime_spark.plans.ext_cohortval import (
+        ext_conversion_by_decile,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    out = ext_conversion_by_decile(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in out) == n_users
+    assert all(0 <= r["decile"] <= 9 for r in out)
+    # bucket-resolution deciles: ordering by decile id must order the
+    # engagement RANGES (min of next >= min of previous)
+    mins = [r["min_events"] for r in sorted(out, key=lambda r: r["decile"])]
+    assert mins == sorted(mins)
