@@ -93,6 +93,8 @@ HEADLINE: tuple[str, ...] = (
     "ext_triangle_count",           # degree-oriented wedge join on capped graph
     "ext_concurrency_peak",         # hierarchical sweep-line, no global sort
     "ext_selfjoin_size_f2",         # CMS F2 moment vs exact, register-sized state
+    "ext_rolling_wau",              # sliding distinct via bounded explode
+    "ext_distribution_drift",       # integer two-sample KS data-quality gate
 )
 
 
