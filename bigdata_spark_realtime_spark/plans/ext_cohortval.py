@@ -191,6 +191,14 @@ def ext_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum("v100").cast("bigint").alias("cents"),
     )
+    return _cohort_grid_cum(grid)
+
+
+def _cohort_grid_cum(grid: DataFrame) -> DataFrame:
+    """Cumulative + formatting projection over the aggregated
+    (cohort_day, day_offset, n_purchases, cents) grid — shared by the
+    batch operator and the streaming twin (which re-aggregates drained
+    per-user partials into the same grid first)."""
     wcum = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

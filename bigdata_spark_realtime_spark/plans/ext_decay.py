@@ -56,6 +56,25 @@ LIMIT {LEADERBOARD_TOP_K}
 """
 
 
+def _leaderboard_from_partials(id_day: DataFrame) -> DataFrame:
+    """Decay + top-K projection over (item, day, v100) partials —
+    shared by the batch operator and the streaming twin."""
+    bounds = id_day.agg(F.max("day").alias("mx"))
+    scored = id_day.crossJoin(F.broadcast(bounds)).select(
+        "item",
+        F.expr(
+            "CASE WHEN mx - day > 62 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(v100, CAST(mx - day AS INT)) END"
+        ).alias("dscore"),
+    )
+    return (
+        scored.groupBy("item")
+        .agg(F.sum("dscore").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("item").asc())
+        .limit(LEADERBOARD_TOP_K)
+    )
+
+
 @register("ext_decayed_leaderboard", oracle=DECAY_ORACLE)
 def ext_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{LEADERBOARD_TOP_K} items by day-half-life decayed cents
@@ -76,20 +95,7 @@ def ext_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item", "day")
         .agg(F.sum("v100").cast("bigint").alias("v100"))
     )
-    bounds = id_day.agg(F.max("day").alias("mx"))
-    scored = id_day.crossJoin(F.broadcast(bounds)).select(
-        "item",
-        F.expr(
-            "CASE WHEN mx - day > 62 THEN CAST(0 AS BIGINT) "
-            "ELSE shiftright(v100, CAST(mx - day AS INT)) END"
-        ).alias("dscore"),
-    )
-    return (
-        scored.groupBy("item")
-        .agg(F.sum("dscore").cast("bigint").alias("score"))
-        .orderBy(F.col("score").desc(), F.col("item").asc())
-        .limit(LEADERBOARD_TOP_K)
-    )
+    return _leaderboard_from_partials(id_day)
 
 
 STRATIFIED_PRIORITY_ORACLE = f"""

@@ -58,6 +58,28 @@ QUALIFY row_number() OVER (
 """
 
 
+def _trending_from_partials(ih: DataFrame) -> DataFrame:
+    """Lag + rank projection over (item, h, c) partials — shared by the
+    batch operator and the streaming twin."""
+    wlag = Window.partitionBy("item").orderBy("h")
+    delta = ih.withColumn(
+        "rise", F.col("c") - F.coalesce(F.lag("c").over(wlag), F.lit(0))
+    )
+    wrank = Window.partitionBy("h").orderBy(
+        F.col("rise").desc(), F.col("c").desc(), F.col("item").asc()
+    )
+    return (
+        delta.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= TRENDING_TOP_K)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hr"),
+            "item",
+            "c",
+            F.col("rise").cast("bigint").alias("rise"),
+        )
+    )
+
+
 @register("ext_trending_items", oracle=TRENDING_ORACLE)
 def ext_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TRENDING_TOP_K} rising items per hour: (item × hour) count
@@ -78,23 +100,7 @@ def ext_trending_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item", "h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    wlag = Window.partitionBy("item").orderBy("h")
-    delta = ih.withColumn(
-        "rise", F.col("c") - F.coalesce(F.lag("c").over(wlag), F.lit(0))
-    )
-    wrank = Window.partitionBy("h").orderBy(
-        F.col("rise").desc(), F.col("c").desc(), F.col("item").asc()
-    )
-    return (
-        delta.withColumn("rn", F.row_number().over(wrank))
-        .where(F.col("rn") <= TRENDING_TOP_K)
-        .select(
-            F.date_format("h", "yyyy-MM-dd HH").alias("hr"),
-            "item",
-            "c",
-            F.col("rise").cast("bigint").alias("rise"),
-        )
-    )
+    return _trending_from_partials(ih)
 
 
 _GAP_MS = SESSION_GAP_MIN * 60 * 1000

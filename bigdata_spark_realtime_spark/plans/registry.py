@@ -82,12 +82,12 @@ _PLAN_MODULES = (
     #
     # ROUND-10 ROTATION PLAN: precomputed and simulation-verified in
     # plans/ROTATION_R10.md (execute FIRST thing next round, one
-    # commit): a 27-module head packs 34 of the 43 pending queries into
-    # the 50-slot window with 16 verified-row refresh fillers; the nine
-    # stragglers (dedup-family trio, ext_annops pair, four
-    # streaming_queries twins) are enumerated there for the ROUND-11
-    # window, which also refreshes the r5-era rows (scalar_fns,
-    # transforms, sort_limit, windows, streaming splits).
+    # commit): a 27-module head packs 36 pending queries into the
+    # 50-slot window with 14 drag fillers; the stragglers (dedup-family
+    # trio, ext_annops pair, four streaming_queries twins, and the
+    # late round-9c modules) are enumerated there together with the
+    # simulated ROUND-11 window (50 slots / 25 pending) and the
+    # ROUND-12 finisher that also refreshes the r5/r7-era rows.
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -167,6 +167,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_decay",
     "bigdata_spark_realtime_spark.plans.ext_rolling",
     "bigdata_spark_realtime_spark.plans.ext_cohortval",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail4",
 )
 
 

@@ -75,6 +75,7 @@ EXPECTED_PER_MODULE = {
     "ext_decay": 2,
     "ext_rolling": 3,
     "ext_cohortval": 2,
+    "ext_stream_tail4": 3,
     "ext_rangejoin": 1,
     "ext_rollup": 1,
     "ext_sketch_tail": 2,
@@ -181,6 +182,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_revenue_unpivot",
     "ext_conversion_by_decile",
     "ext_cohort_value",
+    "stream_trending_items",
+    "stream_decayed_leaderboard",
+    "stream_cohort_value",
 }
 
 #: The exact first-50 registration window the round-9 external
