@@ -245,3 +245,79 @@ def test_decay_oracle_bounded_and_anchored(raw):
     total = sum(math.floor(v * 100) for _, _, _, _, v in rows)
     for r in got.itertuples():
         assert 0 <= r.score <= total
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_rolling_wau_oracle_matches_python_reference(raw):
+    from bigdata_spark_realtime_spark.plans.ext_rolling import (
+        ROLLING_WAU_ORACLE,
+        WAU_DAYS,
+    )
+
+    rows = _mk_rows(raw)
+    con = _events_con(rows)
+    got = {
+        r.day: (r.dau, r.wau)
+        for r in con.sql(ROLLING_WAU_ORACLE).df().itertuples()
+    }
+    ud = {(u, ts // (24 * HOUR_US)) for _, ts, u, _, _ in rows}
+    days = [d for _, d in ud]
+    mn, mx = min(days), max(days)
+    expect = {}
+    for d in range(mn, mx + 1):
+        dau = len({u for u, dd in ud if dd == d})
+        wau = len({u for u, dd in ud if d - WAU_DAYS + 1 <= dd <= d})
+        if wau:
+            key = pd.Timestamp(d * 86400, unit="s").strftime("%Y-%m-%d")
+            expect[key] = (dau, wau)
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_decay_oracle_halves_per_day_exactly(raw):
+    """Shifting the WHOLE feed one day earlier (relative to a new max
+    day planted one day later) must floor-halve every item's score —
+    the integer decay law, checked by planting a sentinel event on the
+    next day and comparing."""
+    from bigdata_spark_realtime_spark.plans.ext_decay import DECAY_ORACLE
+
+    rows = [
+        (eid, ts, u, t, v, '{"k": %d}' % (eid % 5))
+        for eid, ts, u, t, v in _mk_rows(raw)
+    ]
+    DAY_US = 24 * HOUR_US
+    max_day_us = (max(r[1] for r in rows) // DAY_US) * DAY_US
+    sentinel = (10**6, max_day_us + DAY_US, 999, "click", 0.001, '{"k": 999}')
+
+    def run(extra):
+        df = pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows + extra], dtype="int64"),
+                "ts": pd.Series(
+                    [pd.Timestamp(r[1], unit="us") for r in rows + extra],
+                    dtype="datetime64[us]",
+                ),
+                "user_id": pd.Series([r[2] for r in rows + extra], dtype="int64"),
+                "event_type": pd.Series([r[3] for r in rows + extra], dtype="object"),
+                "value": pd.Series([r[4] for r in rows + extra], dtype="float64"),
+                "props": pd.Series([r[5] for r in rows + extra], dtype="object"),
+            }
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        return {
+            r.item: r.score for r in con.sql(DECAY_ORACLE).df().itertuples()
+        }
+
+    base = run([])
+    shifted = run([sentinel])
+    for item, score in base.items():
+        if item == 999 or item not in shifted:
+            continue  # sentinel item / fell off the top-K after halving
+        # the anchor moved one day later: per-(item, day) partials all
+        # shift one halving deeper; halving is per-partial so the total
+        # is bounded by the half, not exactly equal (floor per partial)
+        assert shifted[item] <= base[item] // 2 + 31  # ≤ one floor unit
+        assert shifted[item] >= base[item] // 2 - 31  # per contributing day
