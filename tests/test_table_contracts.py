@@ -341,3 +341,52 @@ def test_hostile_session_timezone_is_repinned(spark):
         assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         hostile.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_hostile_timezone_repin_covers_round9_time_ops(spark):
+    """The round-9 wave leans on date_format/date_trunc/hour
+    derivations (gap-fill hr strings, seasonal hour-of-day, CUSUM
+    cp_hour, Gini/bounce/cohort day strings, WAU report days) — each
+    must return identical rows under a deliberately hostile non-UTC
+    sibling session, proving the load_table repin protects them too."""
+    from bigdata_spark_realtime_spark.plans.ext_cohortval import (
+        ext_cohort_value,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_concurrency import (
+        ext_concurrency_peak,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_drift import (
+        ext_event_mix_gini,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_rolling import ext_rolling_wau
+    from bigdata_spark_realtime_spark.plans.ext_timeseries import (
+        ext_timeseries_gapfill,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_timeseries2 import (
+        ext_changepoint_cusum,
+        ext_seasonal_baseline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fns = [
+        ext_timeseries_gapfill,
+        ext_seasonal_baseline,
+        ext_changepoint_cusum,
+        ext_event_mix_gini,
+        ext_rolling_wau,
+        ext_cohort_value,
+        ext_concurrency_peak,
+    ]
+
+    def rows(s, fn):
+        return sorted(tuple(r) for r in fn(s, sf).collect())
+
+    wants = [rows(spark, fn) for fn in fns]
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    try:
+        for fn, want in zip(fns, wants):
+            assert rows(hostile, fn) == want, fn.__name__
+        assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        hostile.conf.set("spark.sql.session.timeZone", "UTC")
