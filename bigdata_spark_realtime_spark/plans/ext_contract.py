@@ -60,8 +60,8 @@ def contract_oracle_sql(rules: dict[str, tuple[str, str]], table: str, key: str)
        CAST(count(*) AS BIGINT) AS n_checked,
        CAST(count(*) FILTER (NOT coalesce({duck_pred}, false)) AS BIGINT)
          AS n_violations,
-       CAST(min({key}) FILTER (NOT coalesce({duck_pred}, false)) AS BIGINT)
-         AS first_bad_key
+       CAST(coalesce(min({key}) FILTER (NOT coalesce({duck_pred}, false)), -1)
+            AS BIGINT) AS first_bad_key
 FROM {table}"""
         for name, (_, duck_pred) in rules.items()
     )
@@ -77,8 +77,13 @@ def audit_aggs(rules: dict[str, tuple[str, str]], key: str) -> list:
         aggs.append(
             F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"v_{name}")
         )
+        # -1 sentinel for "no violations": a numeric-NULL column would
+        # hit the driver hash's unproven NULL path (the SCD2 OPEN_US
+        # lesson) — clean rules report -1, never NULL
         aggs.append(
-            F.min(F.when(bad, F.col(key))).cast("bigint").alias(f"k_{name}")
+            F.coalesce(F.min(F.when(bad, F.col(key))), F.lit(-1))
+            .cast("bigint")
+            .alias(f"k_{name}")
         )
     return aggs
 

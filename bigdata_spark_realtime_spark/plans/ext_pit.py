@@ -47,7 +47,7 @@ SELECT o.o_orderkey,
        o.o_custkey,
        epoch_us(o.o_orderdate) AS order_us,
        i.state AS state_at_order,
-       i.valid_from_us AS state_since_us
+       CAST(coalesce(i.valid_from_us, -1) AS BIGINT) AS state_since_us
 FROM orders o
 LEFT JOIN iv i
   ON o.o_custkey = i.user_id
@@ -82,4 +82,15 @@ def ext_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=("o_custkey", "user_id"),
         time=("order_us", "valid_from_us"),
         payload=["state_at_order", "state_since_us"],
-    ).select("o_orderkey", "o_custkey", "order_us", "state_at_order", "state_since_us")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "order_us",
+        "state_at_order",
+        # -1 sentinel for "no interval covers the order" (numeric-NULL
+        # columns are unproven in the driver hash; the string NULL in
+        # state_at_order is the driver-proven kind and stays)
+        F.coalesce("state_since_us", F.lit(-1)).cast("long").alias(
+            "state_since_us"
+        ),
+    )
