@@ -51,18 +51,55 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r9 window (exactly 50 queries): the 26 round-8 additions that had
-    # NO driver row after r5/r6/r8 (precomputed + simulation-verified at
-    # the end of round 8 in plans/ROTATION_R9.md, deleted in the
+    # r10 window (exactly 50 queries): 36 round-9 additions that had NO
+    # driver row after r5-r9, packed by the 27-module head below with 14
+    # already-green drag fillers (precomputed + simulation-verified at
+    # the end of round 9 in plans/ROTATION_R10.md, deleted in the
     # rotation commit). Import side effects counted in the window:
-    # ext_stream_tail imports ext_dsir/ext_embed/ext_sketch_tail at
-    # module level (pulling their registrations forward to its slot) and
-    # ext_sketch_tail imports ext_sketch (re-registering the r8-green
-    # hll/cms pair); ext_media_tail2 imports ext_multimodal, whose 3
-    # r8-green base queries register ahead of the shim's pair queries.
-    # Remaining slots fill with the head of r5's tpch block — the
-    # oldest driver rows. r5 ∪ r6 ∪ r8 ∪ r9 = every registered query
-    # driver-verified.
+    # ext_funnel_tail pulls ext_funnel's 4 base queries forward;
+    # ext_graphtri reuses them; ext_sketch_window pulls ext_sketch
+    # (hll/cms); olap_extras then adds only rollup_region_nation +
+    # approx_aggregates; ext_attrib pulls ext_rangejoin;
+    # ext_stream_tail2 reuses ext_colloc; ext_pit reuses ext_scd2;
+    # ext_sampling_tail pulls ext_sampling's 3; ext_timeseries2 reuses
+    # ext_timeseries; ext_concurrency pulls sessionize's 3; ext_paths
+    # reuses them. r5 U r6 U r7 U r8 U r9 U r10 = every query registered
+    # before the round-9c wave driver-verified; the 32 stragglers are
+    # pinned in tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain
+    # via the simulated R11/R12 rotations (see ROTATION_R10.md's s3 as
+    # archived in the round-10 commit message / VERDICT).
+    "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
+    "bigdata_spark_realtime_spark.plans.ext_graphrank",
+    "bigdata_spark_realtime_spark.plans.ext_graphtri",
+    "bigdata_spark_realtime_spark.plans.ext_sketch_window",
+    "bigdata_spark_realtime_spark.plans.olap_extras",
+    "bigdata_spark_realtime_spark.plans.ext_attrib",
+    "bigdata_spark_realtime_spark.plans.ext_snapshot",
+    "bigdata_spark_realtime_spark.plans.ext_colloc",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
+    "bigdata_spark_realtime_spark.plans.ext_skewcheck",
+    "bigdata_spark_realtime_spark.plans.ext_scd2",
+    "bigdata_spark_realtime_spark.plans.ext_pit",
+    "bigdata_spark_realtime_spark.plans.ext_anomaly",
+    "bigdata_spark_realtime_spark.plans.ext_setjoin",
+    "bigdata_spark_realtime_spark.plans.ext_binning",
+    "bigdata_spark_realtime_spark.plans.ext_contract",
+    "bigdata_spark_realtime_spark.plans.ext_sampling_tail",
+    "bigdata_spark_realtime_spark.plans.ext_timeseries",
+    "bigdata_spark_realtime_spark.plans.ext_timeseries2",
+    "bigdata_spark_realtime_spark.plans.ext_concurrency",
+    "bigdata_spark_realtime_spark.plans.ext_paths",
+    "bigdata_spark_realtime_spark.plans.ext_fuzzy",
+    "bigdata_spark_realtime_spark.plans.ext_sampling2",
+    "bigdata_spark_realtime_spark.plans.ext_sketch2",
+    "bigdata_spark_realtime_spark.plans.ext_fkaudit",
+    "bigdata_spark_realtime_spark.plans.ext_zorder",
+    "bigdata_spark_realtime_spark.plans.ext_drift",
+    # below here every query is OUTSIDE the 50-slot gate window. All
+    # were driver-verified in r5-r9 except the 32 pinned stragglers
+    # (PENDING_FIRST_DRIVER_ROW); everything stays covered by both
+    # local oracle mirrors (tests/test_queries_oracle.py at sf0.001,
+    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     "bigdata_spark_realtime_spark.plans.ext_dsir",
     "bigdata_spark_realtime_spark.plans.ext_bpe",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail",
@@ -74,20 +111,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_sketch_tail",
     "bigdata_spark_realtime_spark.plans.ext_funnel",
     "bigdata_spark_realtime_spark.plans.tpch",
-    # below here every query is OUTSIDE the 50-slot gate window (tpch's
-    # tail spills past slot 50; these modules follow). All were
-    # driver-verified in r5/r6/r7/r8 and stay covered by both local
-    # oracle mirrors (tests/test_queries_oracle.py at sf0.001,
-    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
-    #
-    # ROUND-10 ROTATION PLAN: precomputed and simulation-verified in
-    # plans/ROTATION_R10.md (execute FIRST thing next round, one
-    # commit): a 27-module head packs 36 pending queries into the
-    # 50-slot window with 14 drag fillers; the stragglers (dedup-family
-    # trio, ext_annops pair, four streaming_queries twins, and the
-    # late round-9c modules) are enumerated there together with the
-    # simulated ROUND-11 window (50 slots / 25 pending) and the
-    # ROUND-12 finisher that also refreshes the r5/r7-era rows.
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -117,7 +140,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
-    "bigdata_spark_realtime_spark.plans.olap_extras",
     "bigdata_spark_realtime_spark.plans.ext_ivf",
     "bigdata_spark_realtime_spark.plans.ext_dedup",
     "bigdata_spark_realtime_spark.plans.transforms",
@@ -125,41 +147,11 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    # new in round 9, registered AFTER the pinned window (splice rule):
-    # listed in tests/test_registry.PENDING_FIRST_DRIVER_ROW until a
-    # future rotation gives them driver rows; covered by both local
-    # oracle mirrors meanwhile.
-    "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
-    "bigdata_spark_realtime_spark.plans.ext_attrib",
-    "bigdata_spark_realtime_spark.plans.ext_snapshot",
-    "bigdata_spark_realtime_spark.plans.ext_sketch_window",
-    "bigdata_spark_realtime_spark.plans.ext_colloc",
-    "bigdata_spark_realtime_spark.plans.ext_skewcheck",
-    "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
     "bigdata_spark_realtime_spark.plans.ext_annops",
-    "bigdata_spark_realtime_spark.plans.ext_scd2",
-    "bigdata_spark_realtime_spark.plans.ext_anomaly",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
-    "bigdata_spark_realtime_spark.plans.ext_sampling_tail",
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
-    "bigdata_spark_realtime_spark.plans.ext_pit",
-    "bigdata_spark_realtime_spark.plans.ext_setjoin",
-    "bigdata_spark_realtime_spark.plans.ext_binning",
-    "bigdata_spark_realtime_spark.plans.ext_contract",
-    "bigdata_spark_realtime_spark.plans.ext_timeseries",
-    "bigdata_spark_realtime_spark.plans.ext_graphtri",
-    "bigdata_spark_realtime_spark.plans.ext_fuzzy",
-    "bigdata_spark_realtime_spark.plans.ext_timeseries2",
-    "bigdata_spark_realtime_spark.plans.ext_concurrency",
-    "bigdata_spark_realtime_spark.plans.ext_sampling2",
-    "bigdata_spark_realtime_spark.plans.ext_sketch2",
-    "bigdata_spark_realtime_spark.plans.ext_fkaudit",
-    "bigdata_spark_realtime_spark.plans.ext_paths",
-    "bigdata_spark_realtime_spark.plans.ext_zorder",
     "bigdata_spark_realtime_spark.plans.ext_embaudit",
-    "bigdata_spark_realtime_spark.plans.ext_drift",
     "bigdata_spark_realtime_spark.plans.ext_communities",
     "bigdata_spark_realtime_spark.plans.ext_convert",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail3",

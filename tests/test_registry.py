@@ -110,60 +110,24 @@ EXPECTED_PER_MODULE = {
 
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
-#: these having no driver row; the NEXT rotation must move them into
-#: the window and empty this set. Emptied by the executed R9 rotation —
-#: new round-9 queries go here (registered via a tail module).
+#: these having no driver row; the NEXT rotations must move them into
+#: the window and empty this set. The executed R10 rotation drained 36
+#: of round 9's 68; these 32 stragglers drain via the simulated R11
+#: (dedup trio + ext_annops + streaming_queries residual + no-drag late
+#: modules, ~25 pending) and R12 (fulfillment/unpivot/decile/cohort
+#: finishers + r5/r7-era refreshes) windows.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "ext_event_transitions_daily",
-    # rebased rows-only → oracled in round 9 (deterministic sketch
-    # estimates); its r6/r7 driver rows were no_oracle, so the hash
-    # itself has never been driver-checked — rotate it in for r10
-    "approx_aggregates",
-    "ext_multitouch_attribution",
-    "ext_snapshot_diff",
-    "ext_hll_hourly_rollup",
-    "stream_retention_cohorts",
-    "stream_snapshot_diff",
-    "ext_bigram_pmi",
-    "ext_skew_audit",
-    "stream_multitouch_attribution",
-    "ext_item_pagerank",
     "ext_split_leakage",
     "ext_contrastive_triplets",
-    "stream_skew_audit",
+    "ext_dedup_impact",
     "ext_ivf_cell_stats",
     "stream_kmeans_assign",
-    "ext_scd2_intervals",
-    "ext_rollup_anomaly",
-    "ext_dedup_impact",
-    "ext_funnel_conversion",
-    "ext_sample_topk_hash",
-    "stream_bigram_pmi",
-    "ext_pit_scd2_join",
-    "ext_setsim_join",
-    "ext_equidepth_bins",
-    "ext_contract_audit",
-    "stream_contract_audit",
-    "ext_timeseries_gapfill",
-    "ext_trend_slope",
-    "ext_twa_value",
-    "ext_triangle_count",
-    "ext_fuzzy_join_editdist",
-    "stream_trend_slope",
-    "ext_seasonal_baseline",
-    "ext_changepoint_cusum",
-    "ext_concurrency_peak",
-    "ext_weighted_sample_priority",
-    "ext_selfjoin_size_f2",
-    "stream_selfjoin_size",
-    "ext_fk_audit",
-    "ext_session_paths",
-    "ext_ab_assignment",
-    "ext_zorder_key",
+    "stream_retention_cohorts",
+    "stream_snapshot_diff",
+    "stream_multitouch_attribution",
+    "stream_skew_audit",
     "ext_embedding_dim_stats",
     "ext_embedding_norm_census",
-    "ext_distribution_drift",
-    "ext_event_mix_gini",
     "ext_item_communities",
     "ext_time_to_convert",
     "stream_zorder_census",
@@ -187,61 +151,61 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_cohort_value",
 }
 
-#: The exact first-50 registration window the round-9 external
-#: correctness gate sees: all 26 round-8 additions that had no driver
-#: row after r5/r6/r8, plus 24 already-green fillers dragged in by
-#: module import order (ext_stream_tail pulls ext_dsir / ext_embed /
-#: ext_sketch_tail registrations forward; ext_sketch_tail pulls
-#: ext_sketch's r8-green hll/cms; ext_media_tail2 pulls
-#: ext_multimodal's 3 base queries; tpch head fills the rest).
-#: r5 ∪ r6 ∪ r8 ∪ r9 = every registered query driver-verified.
+#: The exact first-50 registration window the round-10 external
+#: correctness gate sees: the 36 round-9 additions that had no driver
+#: row after r5-r9, plus 14 already-green fillers dragged in by module
+#: import order (ext_funnel_tail pulls ext_funnel's base queries;
+#: ext_sketch_window pulls ext_sketch's hll/cms; ext_attrib pulls
+#: ext_rangejoin; ext_sampling_tail pulls ext_sampling's 3;
+#: ext_concurrency pulls sessionize's 3). r5-r10 union = every query
+#: registered before the round-9c wave driver-verified.
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R9_WINDOW = [
-    "ext_dsir_select", "ext_bpe_merges", "ext_bpe_apply_merge",
-    "ext_embed_quantize_int8", "ext_embed_centroids", "ext_kmeans_assign",
-    "ext_centroid_similarity", "ext_hll_distinct", "ext_cms_freq",
-    "ext_hll_set_algebra", "ext_quantile_sketch", "stream_dsir_select",
-    "stream_embed_quantize", "stream_embed_centroids",
-    "stream_quantile_sketch", "ext_rollup_cascade", "stream_rollup_cascade",
-    "ext_vocab_topk_lang", "ext_vocab_coverage", "ext_multimodal_meta",
-    "ext_multimodal_decode", "ext_multimodal_features",
-    "ext_multimodal_phash_pairs", "ext_multimodal_audiohash_pairs",
-    "ext_multimodal_video_frames", "ext_multimodal_scene_cuts",
-    "ext_range_join_attribution", "ext_funnel_steps",
-    "ext_retention_cohorts", "ext_item_cooccurrence",
-    "ext_event_transitions", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast", "q10_returned_items",
-    "q14_promo_revenue", "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates", "q18_large_volume_customer",
-    "q4_priority_exists", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_cnt", "q22_sales_opportunity", "q20_dominant_supplier",
-    "q11_important_value_share",
+R10_WINDOW = [
+    "ext_funnel_steps", "ext_retention_cohorts", "ext_item_cooccurrence",
+    "ext_event_transitions", "ext_event_transitions_daily",
+    "ext_funnel_conversion", "ext_item_pagerank", "ext_triangle_count",
+    "ext_hll_distinct", "ext_cms_freq", "ext_hll_hourly_rollup",
+    "rollup_region_nation", "approx_aggregates",
+    "ext_range_join_attribution", "ext_multitouch_attribution",
+    "ext_snapshot_diff", "ext_bigram_pmi", "stream_bigram_pmi",
+    "ext_skew_audit", "ext_scd2_intervals", "ext_pit_scd2_join",
+    "ext_rollup_anomaly", "ext_setsim_join", "ext_equidepth_bins",
+    "ext_contract_audit", "stream_contract_audit", "ext_sample_stratified",
+    "ext_curation_pipeline", "ext_sample_source_cap", "ext_sample_topk_hash",
+    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
+    "ext_twa_value", "ext_seasonal_baseline", "ext_changepoint_cusum",
+    "sessionize_events", "pivot_event_counts", "session_window_agg",
+    "ext_concurrency_peak", "ext_session_paths", "ext_ab_assignment",
+    "ext_fuzzy_join_editdist", "ext_weighted_sample_priority",
+    "ext_selfjoin_size_f2", "stream_selfjoin_size", "ext_fk_audit",
+    "ext_zorder_key", "ext_distribution_drift", "ext_event_mix_gini",
 ]
 
-#: the 26 rows this window exists to verify (never driver-checked in
-#: r5/r6/r8) — asserted as a subset so a future splice can't silently
+#: the 36 rows this window exists to verify (never driver-checked in
+#: r5-r9) — asserted as a subset so a future splice can't silently
 #: evict one while keeping the list length at 50
-R9_TARGETS = {
-    "ext_dsir_select", "stream_dsir_select", "ext_bpe_merges",
-    "ext_bpe_apply_merge", "ext_embed_quantize_int8", "ext_embed_centroids",
-    "ext_centroid_similarity", "ext_kmeans_assign", "ext_vocab_topk_lang",
-    "ext_vocab_coverage", "stream_embed_quantize", "stream_embed_centroids",
-    "stream_quantile_sketch", "stream_rollup_cascade",
-    "ext_multimodal_phash_pairs", "ext_multimodal_audiohash_pairs",
-    "ext_multimodal_video_frames", "ext_multimodal_scene_cuts",
-    "ext_range_join_attribution", "ext_rollup_cascade",
-    "ext_hll_set_algebra", "ext_quantile_sketch", "ext_funnel_steps",
-    "ext_retention_cohorts", "ext_item_cooccurrence",
-    "ext_event_transitions",
+R10_TARGETS = {
+    "ext_event_transitions_daily", "ext_funnel_conversion",
+    "ext_item_pagerank", "ext_triangle_count", "ext_hll_hourly_rollup",
+    "approx_aggregates", "ext_multitouch_attribution", "ext_snapshot_diff",
+    "ext_bigram_pmi", "stream_bigram_pmi", "ext_skew_audit",
+    "ext_scd2_intervals", "ext_pit_scd2_join", "ext_rollup_anomaly",
+    "ext_setsim_join", "ext_equidepth_bins", "ext_contract_audit",
+    "stream_contract_audit", "ext_sample_topk_hash",
+    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
+    "ext_twa_value", "ext_seasonal_baseline", "ext_changepoint_cusum",
+    "ext_concurrency_peak", "ext_session_paths", "ext_ab_assignment",
+    "ext_fuzzy_join_editdist", "ext_weighted_sample_priority",
+    "ext_selfjoin_size_f2", "stream_selfjoin_size", "ext_fk_audit",
+    "ext_zorder_key", "ext_distribution_drift", "ext_event_mix_gini",
 }
 
 
-def test_r9_gate_window_is_pinned():
+def test_r10_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r9 window, in order.
+    must be exactly the planned r10 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -252,9 +216,9 @@ def test_r9_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R9_WINDOW) == 50
-    assert len(R9_TARGETS) == 26
-    assert R9_TARGETS <= set(R9_WINDOW)
+    assert len(R10_WINDOW) == 50
+    assert len(R10_TARGETS) == 36
+    assert R10_TARGETS <= set(R10_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -268,7 +232,7 @@ def test_r9_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R9_WINDOW
+    assert got == R10_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -333,7 +297,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R9_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R10_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
