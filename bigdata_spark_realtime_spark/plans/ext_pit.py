@@ -70,11 +70,21 @@ def ext_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same naive value
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
     )
-    iv = ext_scd2_intervals(spark, sf_dir).select(
-        "user_id",
-        "valid_from_us",
-        F.col("state").alias("state_at_order"),
-        F.col("valid_from_us").alias("state_since_us"),
+    # Drop zero-width intervals (a same-microsecond state flip gives
+    # the earlier island valid_to == valid_from): they match nothing in
+    # the oracle's half-open BETWEEN containment, and removing them
+    # restores asof_join's "right side unique per (key, time)"
+    # precondition — the survivor at a shared valid_from_us is the last
+    # island, whose interval is the one that actually covers t >= from.
+    iv = (
+        ext_scd2_intervals(spark, sf_dir)
+        .filter(F.col("valid_to_us") > F.col("valid_from_us"))
+        .select(
+            "user_id",
+            "valid_from_us",
+            F.col("state").alias("state_at_order"),
+            F.col("valid_from_us").alias("state_since_us"),
+        )
     )
     return asof_join(
         orders,

@@ -14,7 +14,12 @@ Classic gaps-and-islands: a change flag (state differs from the
 previous event's), a running sum of flags as the island id, then one
 row per island with ``lead()`` supplying the exclusive upper bound.
 All ordering is the integer composite (epoch_us, event_id) — the
-engine's standard deterministic tie-break.
+engine's standard deterministic tie-break. The runs-level lead window
+additionally tiebreaks on the island id: a same-microsecond state flip
+produces two runs with identical ``valid_from_us``, and ordering by
+``(valid_from_us, isl)`` (isl is monotone with event order) makes the
+zero-width interval land deterministically on the EARLIER island on
+both engines — without it the assignment is engine-dependent.
 
 Scale (100 TB): two windows and one groupBy, all partitioned by
 user_id — per-partition state is a user's own event count, and the
@@ -58,14 +63,14 @@ islands AS (
   FROM flagged
 ),
 runs AS (
-  SELECT user_id, min(state) AS state,
+  SELECT user_id, isl, min(state) AS state,
          CAST(min(us) AS BIGINT) AS valid_from_us,
          CAST(count(*) AS BIGINT) AS n_events
   FROM islands GROUP BY user_id, isl
 )
 SELECT user_id, state, valid_from_us,
        CAST(coalesce(lead(valid_from_us) OVER (
-         PARTITION BY user_id ORDER BY valid_from_us
+         PARTITION BY user_id ORDER BY valid_from_us, isl
        ), {OPEN_US}) AS BIGINT) AS valid_to_us,
        n_events
 FROM runs
@@ -98,7 +103,12 @@ def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("bigint").alias("valid_from_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # tiebreak by isl (monotone with event order): a same-microsecond
+    # state flip yields two runs with identical valid_from_us, and
+    # without the tiebreak valid_to_us assignment is engine-dependent.
+    # The earlier island deterministically gets the zero-width interval;
+    # downstream as-of probes (ext_pit) filter those out.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us", "isl")
     return runs.select(
         "user_id",
         "state",

@@ -1210,7 +1210,10 @@ def test_multitouch_touch_cap_bounds_adversarial_purchase(spark, tmp_path):
 def test_scd2_intervals_runs_and_open_interval(spark, tmp_path):
     """Planted state chain a,a,b,a: three islands with touching
     [from, to) bounds, the last open (OPEN_US sentinel); same-timestamp
-    events order by event_id."""
+    events order by event_id. The b/a flip shares one microsecond, so
+    the runs-level lead window's (valid_from_us, isl) tiebreak is what
+    makes the zero-width interval land on "b" (the earlier island) on
+    BOTH engines — this pin is deterministic, not engine-luck."""
     from bigdata_spark_realtime_spark.plans.ext_scd2 import (
         OPEN_US,
         ext_scd2_intervals,
@@ -1234,6 +1237,65 @@ def test_scd2_intervals_runs_and_open_interval(spark, tmp_path):
         for r in ext_scd2_intervals(spark, str(tmp_path)).collect()
     )
     assert got == [("a", 10, 30, 2), ("a", 30, "open", 1), ("b", 30, 30, 1)]
+
+
+def test_pit_join_same_microsecond_flip_matches_oracle(spark, tmp_path):
+    """A same-microsecond state flip creates a zero-width SCD2 interval
+    ("b" below). The PIT as-of probe must (1) drop it, restoring
+    asof_join's right-side-unique-per-(key, time) precondition, and
+    (2) still hash-match the oracle's BETWEEN containment, which a
+    half-open zero-width interval can never satisfy. Before the filter,
+    two intervals shared (user_id=5, valid_from_us=t0+30) and the as-of
+    pick between them was nondeterministic."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_pit import (
+        PIT_ORACLE,
+        ext_pit_scd2_join,
+    )
+    from oracle_util import assert_matches_oracle
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, t0 + 10, 5, "a", "{}"),
+        (2, t0 + 30, 5, "b", "{}"),      # b and a flip within one us:
+        (3, t0 + 30, 5, "a", "{}"),      # b's interval is zero-width
+    ]
+    _write_events(tmp_path, rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                "o_custkey": pa.array([5, 5, 5], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+                # before first interval / at the tied flip / after
+                "o_orderdate": pa.array(
+                    [t0, t0 + 30, t0 + 40], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+    out = ext_pit_scd2_join(spark, str(tmp_path))
+    got = {r["o_orderkey"]: (r["state_at_order"], r["state_since_us"]) for r in out.collect()}
+    assert got == {
+        100: (None, -1),            # predates every interval
+        101: ("a", t0 + 30),        # the tied flip resolves to "a", not "b"
+        102: ("a", t0 + 30),
+    }
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    assert_matches_oracle(out, con, PIT_ORACLE)
 
 
 def test_rollup_anomaly_flags_spike_and_drop(spark, tmp_path):
