@@ -12,10 +12,17 @@ band cut pairs before the DP), then verify with exact edit distance.
 Scale (100 TB): the join runs on the DISTINCT name vocabulary, not on
 rows — one map-side-combined groupBy reduces any number of part rows
 to the (name, n_parts) table, which is bounded by the catalog's
-naming scheme, not by data volume. Blocking on the last token plus
-the ±k length band keeps the self-join near-linear in vocabulary
-size; `levenshtein` is a JVM built-in on both engines (identical
-classic DP), so the verify stage is whole-stage-codegen, no Python.
+naming scheme, not by data volume. The equi-join key is COMPOSITE:
+(last token, ⌊len/(k+1)⌋ length band). The band is implied by the
+±k length predicate (|len_a − len_b| ≤ k ⇒ adjacent-or-equal bands of
+width k+1), so promoting it into the key changes the plan, not the
+result: one side joins on its exact band, the other explodes to
+{band−1, band, band+1} (each band value distinct, so no pair
+duplicates), and a degenerate naming scheme that collapses the token
+key — every name ending "pro" — still splits its block by length
+band instead of going quadratic on the whole vocabulary.
+`levenshtein` is a JVM built-in on both engines (identical classic
+DP), so the verify stage is whole-stage-codegen, no Python.
 
 Reference parity: the reference's ES `match` queries do analyzer-level
 fuzzy lookups (`ia/PublisherMapperImpl.java:74-76`); this is the
@@ -57,11 +64,14 @@ WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 
 @register("ext_fuzzy_join_editdist", oracle=FUZZY_ORACLE)
 def ext_fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked Levenshtein self-join on distinct part names: block =
-    last name token, prefilter = ±{FUZZY_MAX_DIST} length band (the
-    edit-distance lower bound), verify = exact `levenshtein ≤
+    """Blocked Levenshtein self-join on distinct part names: equi-join
+    key = (last name token, ⌊len/(k+1)⌋ band) with a 3-way band
+    explosion on the right side, prefilter = ±{FUZZY_MAX_DIST} length
+    band (the edit-distance lower bound, which is also what makes the
+    band key result-neutral), verify = exact `levenshtein ≤
     {FUZZY_MAX_DIST}` — all on the vocabulary-sized distinct-name
     frame, never on raw part rows."""
+    band_w = FUZZY_MAX_DIST + 1
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("name"))
@@ -72,23 +82,34 @@ def ext_fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split("name", " ", -1), -1).alias("blk"),
             F.length("name").alias("len"),
         )
+        .withColumn("band", F.expr(f"len DIV {band_w}"))
     )
     a = names.select(
         F.col("name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),
         F.col("blk"),
+        F.col("band"),
         F.col("len").alias("len_a"),
     )
+    # |len_a - len_b| <= k bounds |band_a - band_b| <= 1, so exploding
+    # ONE side to its band neighborhood keeps every qualifying pair
+    # reachable through the composite equi-key, exactly once
     b = names.select(
         F.col("name").alias("name_b"),
         F.col("n_parts").alias("n_parts_b"),
         F.col("blk").alias("blk_b"),
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("band_b"),
         F.col("len").alias("len_b"),
     )
     return (
         a.join(
             b,
             (F.col("blk") == F.col("blk_b"))
+            & (F.col("band") == F.col("band_b"))
             & (F.col("name_a") < F.col("name_b"))
             & (
                 F.abs(F.col("len_a") - F.col("len_b")) <= FUZZY_MAX_DIST

@@ -491,10 +491,14 @@ def test_triangle_count_persists_oriented_edges_no_cartesian(spark, sf_dir):
 def test_fuzzy_join_runs_on_vocabulary_not_rows(spark, sf_dir):
     """The Levenshtein self-join's both sides must be the aggregated
     distinct-name frame (HashAggregate below the join), the block key
-    an equi-join, and the part scan pruned to p_name only."""
+    a COMPOSITE equi-join (last token AND length band — a degenerate
+    naming scheme collapsing the token key must still split by band,
+    not go quadratic), and the part scan pruned to p_name only."""
     plan = _plan(spark, sf_dir, "ext_fuzzy_join_editdist")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Left keys \[2\]: \[blk#\d+, band#\d+", plan)
+    assert re.search(r"Right keys \[2\]: \[blk_b#\d+, band_b#\d+", plan)
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert schemas == {"p_name:string"}
 

@@ -218,6 +218,54 @@ def test_fuzzy_join_respects_block_and_distance(spark, tmp_path):
     )
 
 
+def test_fuzzy_join_fat_block_splits_by_length_band(spark, tmp_path):
+    """Adversarial degenerate naming scheme: EVERY name ends with the
+    same token ("pro"), collapsing the token block to the whole
+    vocabulary. The composite (token, ⌊len/3⌋ band) key must still
+    split that block — and recall must survive band boundaries: lengths
+    9 ("abcde pro") and 10 ("abcdex pro") sit in bands 3 and 3, while
+    11 ("abcdexy pro") sits in band 3; the planted cross-band pair is
+    lengths 11 and 13 (bands 3 and 4), reachable only through the
+    3-way band explosion."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_spark_realtime_spark.plans.ext_fuzzy import (
+        FUZZY_ORACLE,
+        ext_fuzzy_join_editdist,
+    )
+
+    # all share last token "pro"; lengths straddle the /3 band edges
+    names = [
+        "abcdexy pro",    # len 11, band 3
+        "abcdexyzw pro",  # len 13, band 4 — dist 2 from the above
+        "abcde pro",      # len 9,  band 3 — dist 2 from abcdexy
+        "qqqqqqqqq pro",  # len 13, band 4 — far from everything
+    ]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(range(len(names)), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "part.parquet"))
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in ext_fuzzy_join_editdist(spark, str(tmp_path)).collect()
+    }
+    # cross-band pair (bands 3 vs 4) found; same-band pair found;
+    # |len diff| 4 > k pairs and far names excluded
+    assert got == {
+        ("abcdexy pro", "abcdexyzw pro"): 2,
+        ("abcde pro", "abcdexy pro"): 2,
+    }
+    assert_matches_oracle(
+        ext_fuzzy_join_editdist(spark, str(tmp_path)),
+        _duck(tmp_path, table="part"),
+        FUZZY_ORACLE,
+    )
+
+
 def test_cusum_finds_planted_level_shift(spark, tmp_path):
     from bigdata_spark_realtime_spark.plans.ext_timeseries2 import (
         CUSUM_ORACLE,
