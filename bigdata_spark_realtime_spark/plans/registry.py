@@ -160,6 +160,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_rolling",
     "bigdata_spark_realtime_spark.plans.ext_cohortval",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail4",
+    # round 10 (splice rule: new queries register after the pinned
+    # window; in PENDING_FIRST_DRIVER_ROW until a rotation seats them)
+    "bigdata_spark_realtime_spark.plans.ext_nullprobe",
 )
 
 

@@ -106,6 +106,7 @@ EXPECTED_PER_MODULE = {
     "ext_embed": 4,
     "ext_vocab": 2,
     "streaming_queries": 17,
+    "ext_nullprobe": 1,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -117,6 +118,7 @@ EXPECTED_PER_MODULE = {
 #: modules, ~25 pending) and R12 (fulfillment/unpivot/decile/cohort
 #: finishers + r5/r7-era refreshes) windows.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
+    "ext_null_hash_probe",
     "ext_split_leakage",
     "ext_contrastive_triplets",
     "ext_dedup_impact",
