@@ -95,6 +95,13 @@ HEADLINE: tuple[str, ...] = (
     "ext_selfjoin_size_f2",         # CMS F2 moment vs exact, register-sized state
     "ext_rolling_wau",              # sliding distinct via bounded explode
     "ext_distribution_drift",       # integer two-sample KS data-quality gate
+    # round-10 additions: representative round-9c picks the R10 gate
+    # window verifies (judge task #7 — bench tracks the gate window)
+    "ext_scd2_intervals",           # gaps-and-islands SCD2 build
+    "ext_pit_scd2_join",            # tiling→as-of point-in-time lookup
+    "ext_fuzzy_join_editdist",      # (token, len-band)-blocked Levenshtein
+    "ext_session_paths",            # per-session ordered event paths top-K
+    "ext_contract_audit",           # single-scan schema-contract audit
 )
 
 
