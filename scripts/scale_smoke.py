@@ -85,15 +85,22 @@ SMOKE_QUERIES = (
     "ext_embedding_norm_census",
     "ext_trending_items",
     "ext_bounce_rate",
+    "ext_inventory_drawdown",
     "ext_balance_percentile",
+    # round-10 changes (SCD2 tiebreak, PIT zero-width filter, fuzzy
+    # composite blocking) — part/orders replicas built alongside events
+    "ext_scd2_intervals",
+    "ext_pit_scd2_join",
+    "ext_fuzzy_join_editdist",
 )
 
 
 def build_copy(spark) -> None:
     from bigdata_spark_realtime_spark.sources.tables import load_table
 
-    if os.path.exists(os.path.join(BIG, "documents.parquet")) and os.path.exists(
-        os.path.join(BIG, "events.parquet")
+    if all(
+        os.path.exists(os.path.join(BIG, f"{t}.parquet"))
+        for t in ("documents", "events", "part", "orders", "supplier", "lineitem")
     ):
         return
     os.makedirs(BIG, exist_ok=True)
@@ -180,6 +187,77 @@ def build_copy(spark) -> None:
           FROM read_parquet('{BASE}/events.parquet'),
                unnest(range({REPS})) AS u(r)
         ) TO '{BIG}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # part replica for the fuzzy join: suffix the name with the replica
+    # index — replica vocabularies are token-disjoint (last token
+    # "blue_3"), so block sizes stay constant per replica and the
+    # blocked self-join's output scales linearly with vocabulary, not
+    # quadratically with fused blocks. orders replica for the PIT join:
+    # custkeys shift by the SAME 1e6-per-replica span as events'
+    # user_ids, preserving the fact->interval join structure per
+    # replica (10x users, same per-user history each).
+    (np_,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{BASE}/part.parquet')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT p_partkey + u.r * {np_} AS p_partkey,
+                 CASE WHEN u.r = 0 THEN p_name
+                      ELSE p_name || '_' || u.r END AS p_name,
+                 * EXCLUDE (p_partkey, p_name)
+          FROM read_parquet('{BASE}/part.parquet'),
+               unnest(range({REPS})) AS u(r)
+        ) TO '{BIG}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    (no_,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{BASE}/orders.parquet')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + u.r * {no_} AS o_orderkey,
+                 o_custkey + u.r * 1000000 AS o_custkey,
+                 * EXCLUDE (o_orderkey, o_custkey)
+          FROM read_parquet('{BASE}/orders.parquet'),
+               unnest(range({REPS})) AS u(r)
+        ) TO '{BIG}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+
+    # supplier replica for ext_balance_percentile (the round-9 smoke
+    # list grew this query without growing the copy — the 10x pass
+    # crashed on the missing file): 10x suppliers per nation, same
+    # balance distribution each. lineitem replica for
+    # ext_inventory_drawdown: l_partkey shifts per replica, so 10x
+    # parts each carry the SAME flow history (per-part windows see
+    # constant work; output scales linearly).
+    (ns_,) = con.execute(
+        f"SELECT count(*) FROM read_parquet('{BASE}/supplier.parquet')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT s_suppkey + u.r * {ns_} AS s_suppkey,
+                 * EXCLUDE (s_suppkey)
+          FROM read_parquet('{BASE}/supplier.parquet'),
+               unnest(range({REPS})) AS u(r)
+        ) TO '{BIG}/supplier.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + u.r * {no_} AS l_orderkey,
+                 l_partkey + u.r * {np_} AS l_partkey,
+                 l_suppkey + u.r * {ns_} AS l_suppkey,
+                 * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+          FROM read_parquet('{BASE}/lineitem.parquet'),
+               unnest(range({REPS})) AS u(r)
+        ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     con.close()

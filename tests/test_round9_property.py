@@ -321,3 +321,82 @@ def test_decay_oracle_halves_per_day_exactly(raw):
         # is bounded by the half, not exactly equal (floor per partial)
         assert shifted[item] <= base[item] // 2 + 31  # ≤ one floor unit
         assert shifted[item] >= base[item] // 2 - 31  # per contributing day
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                   # microsecond offset: tiny
+            st.integers(1, 3),                   # domain forces same-us ties
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    st.lists(st.integers(-1, 8), min_size=1, max_size=8),  # probe offsets
+)
+def test_scd2_ties_tile_and_asof_equals_containment(raw, probes):
+    """Round-10 tiebreak contract, pinned for ARBITRARY same-microsecond
+    tie patterns (the fixtures only plant one): (1) the oracle's
+    interval set, after dropping zero-width rows, tiles each user's
+    timeline exactly; (2) zero-width rows only arise from ties and
+    deterministically take the earlier island; (3) for any probe t the
+    BETWEEN containment over ALL intervals returns the same row as the
+    as-of pick (greatest valid_from <= t) over the FILTERED set — the
+    equivalence ext_pit's single-shuffle plan rests on."""
+    from bigdata_spark_realtime_spark.plans.ext_scd2 import (
+        OPEN_US,
+        SCD2_ORACLE,
+    )
+
+    rows = [(i + 1, T0 + us, u, s, 1.0) for i, (us, u, s) in enumerate(raw)]
+    con = _events_con(rows)
+    iv = con.sql(SCD2_ORACLE).df()
+
+    by_user = {}
+    for r in iv.itertuples():
+        by_user.setdefault(r.user_id, []).append(r)
+    ev_count = {}
+    for _, _, u, *_ in rows:
+        ev_count[u] = ev_count.get(u, 0) + 1
+
+    for u, rs in by_user.items():
+        assert sum(r.n_events for r in rs) == ev_count[u]
+        live = sorted(
+            (r for r in rs if r.valid_to_us > r.valid_from_us),
+            key=lambda r: r.valid_from_us,
+        )
+        # tiling: strictly increasing starts, each to == next from,
+        # exactly one open interval and it is last
+        assert live, u
+        assert live[-1].valid_to_us == OPEN_US
+        for a, b in zip(live, live[1:]):
+            assert a.valid_to_us == b.valid_from_us, u
+            assert a.valid_from_us < b.valid_from_us, u
+        # zero-width rows exist only where a live interval shares the
+        # same start (the later island of a tie)
+        for z in (r for r in rs if r.valid_to_us == r.valid_from_us):
+            assert any(
+                l.valid_from_us == z.valid_from_us for l in live
+            ), u
+
+        # as-of over live == containment over ALL (zero-width can
+        # never satisfy from <= t < to)
+        for p in probes:
+            t = T0 + p
+            contained = [
+                r for r in rs if r.valid_from_us <= t < r.valid_to_us
+            ]
+            eligible = [r for r in live if r.valid_from_us <= t]
+            asof = (
+                max(eligible, key=lambda r: r.valid_from_us)
+                if eligible
+                else None
+            )
+            assert len(contained) <= 1
+            if contained:
+                assert asof is not None
+                assert contained[0].Index == asof.Index
+            else:
+                assert asof is None
