@@ -1,0 +1,54 @@
+"""Partition-count invariance for the never-driver-verified queries.
+
+The driver gate is these queries' only independent check, and each gets
+exactly one shot per rotation — a FAIL there would be the build's
+first. The local oracle mirrors always run under one fixed
+parallelism, so a result that silently depends on the shuffle layout
+(a window tie resolved by partition order, a non-associative merge, an
+undeterministic first()) would sail through them and explode at the
+gate, or worse, at 1000 executors where the layout is never the same
+twice. This mirror re-runs every PENDING_FIRST_DRIVER_ROW query under
+a sibling session with a deliberately different, prime
+``spark.sql.shuffle.partitions`` and requires row-identical results.
+
+Streaming twins run their full micro-batch replay under both layouts —
+complete-mode state merging must be partitioning-independent too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_spark_realtime_spark.plans import registry
+from test_registry import PENDING_FIRST_DRIVER_ROW
+
+
+def _rows(session, fn, sf_dir):
+    df = fn(session, sf_dir)
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    # NULLs sort first (None is not orderable against values)
+    return sorted(
+        rows, key=lambda t: tuple((v is not None, v) for v in t)
+    )
+
+
+@pytest.fixture(scope="module")
+def perturbed(spark):
+    """Sibling session with a different shuffle layout. newSession()
+    shares the JVM/catalog but takes its own SQL confs, so this is the
+    cheapest honest way to vary partitioning."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "5")
+    yield s
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_FIRST_DRIVER_ROW))
+def test_pending_query_is_partition_count_invariant(
+    name, spark, perturbed, sf_dir
+):
+    specs = registry.load_all()
+    fn = specs[name].fn
+    base = _rows(spark, fn, sf_dir)
+    assert _rows(perturbed, fn, sf_dir) == base
