@@ -20,7 +20,7 @@ from __future__ import annotations
 import pytest
 
 from bigdata_spark_realtime_spark.plans import registry
-from test_registry import PENDING_FIRST_DRIVER_ROW
+from test_registry import PENDING_FIRST_DRIVER_ROW, R10_TARGETS
 
 
 def _rows(session, fn, sf_dir):
@@ -44,7 +44,13 @@ def perturbed(spark):
     s.conf.set("spark.sql.shuffle.partitions", "8")
 
 
-@pytest.mark.parametrize("name", sorted(PENDING_FIRST_DRIVER_ROW))
+#: never-driver-verified queries plus the current rotation's targets —
+#: the queries whose next driver row is their FIRST; a layout-dependent
+#: result would fail that one shot
+_AT_RISK = sorted(PENDING_FIRST_DRIVER_ROW | R10_TARGETS)
+
+
+@pytest.mark.parametrize("name", _AT_RISK)
 def test_pending_query_is_partition_count_invariant(
     name, spark, perturbed, sf_dir
 ):
