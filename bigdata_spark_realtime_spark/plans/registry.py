@@ -64,7 +64,8 @@ _PLAN_MODULES = (
     # ext_sampling_tail pulls ext_sampling's 3; ext_timeseries2 reuses
     # ext_timeseries; ext_concurrency pulls sessionize's 3; ext_paths
     # reuses them. r5 U r6 U r7 U r8 U r9 U r10 = every query registered
-    # before the round-9c wave driver-verified; the 32 stragglers are
+    # before the round-9c wave driver-verified; the 33 pending (32
+    # stragglers + the round-10 null-hash probe) are
     # pinned in tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain
     # via the simulated R11/R12 rotations (see ROTATION_R10.md's s3 as
     # archived in the round-10 commit message / VERDICT).

@@ -98,12 +98,37 @@ SMOKE_QUERIES = (
 def build_copy(spark) -> None:
     from bigdata_spark_realtime_spark.sources.tables import load_table
 
-    if all(
-        os.path.exists(os.path.join(BIG, f"{t}.parquet"))
-        for t in ("documents", "events", "part", "orders", "supplier", "lineitem")
-    ):
+    # per-table guard: a smoke dir left by an older script revision
+    # (e.g. round 9's, which lacked the TPC-H replicas) only rebuilds
+    # the genuinely missing files — the Spark-built documents /
+    # embeddings replicas are minutes of work and must not be redone
+    # because a cheap duckdb COPY target is absent
+    missing = {
+        t
+        for t in (
+            "documents",
+            "embeddings",
+            "events",
+            "part",
+            "orders",
+            "supplier",
+            "lineitem",
+        )
+        if not os.path.exists(os.path.join(BIG, f"{t}.parquet"))
+    }
+    if not missing:
         return
     os.makedirs(BIG, exist_ok=True)
+    if "documents" in missing:
+        _build_documents_copy(spark, load_table)
+    if "embeddings" in missing:
+        _build_embeddings_copy(spark, load_table)
+    duck_missing = missing & {"events", "part", "orders", "supplier", "lineitem"}
+    if duck_missing:
+        _build_duck_copies(duck_missing)
+
+
+def _build_documents_copy(spark, load_table) -> None:
     docs = load_table(spark, BASE, "documents")
     n = docs.count()
     def replica_text(r: int):
@@ -137,6 +162,9 @@ def build_copy(spark) -> None:
     out.repartition(8).write.mode("overwrite").parquet(
         os.path.join(BIG, "documents.parquet")
     )
+
+
+def _build_embeddings_copy(spark, load_table) -> None:
     emb = load_table(spark, BASE, "embeddings")
     m = emb.count()
 
@@ -166,6 +194,8 @@ def build_copy(spark) -> None:
         os.path.join(BIG, "embeddings.parquet")
     )
 
+
+def _build_duck_copies(duck_missing: set) -> None:
     # events replica must stay a SINGLE parquet file (the loader's
     # ts-vintage sniffing reads one file); duckdb COPY does that.
     # Disjoint user spans per replica: user-keyed operators (funnel,
@@ -175,20 +205,27 @@ def build_copy(spark) -> None:
     import duckdb
 
     con = duckdb.connect()
-    (k,) = con.execute(
-        f"SELECT count(*) FROM read_parquet('{BASE}/events.parquet')"
-    ).fetchone()
-    con.execute(
-        f"""
-        COPY (
-          SELECT event_id + u.r * {k} AS event_id, ts,
-                 user_id + u.r * 1000000 AS user_id,
-                 event_type, value, props
-          FROM read_parquet('{BASE}/events.parquet'),
-               unnest(range({REPS})) AS u(r)
-        ) TO '{BIG}/events.parquet' (FORMAT PARQUET)
-        """
-    )
+    counts: dict = {}
+
+    def cnt(table: str) -> int:
+        if table not in counts:
+            (counts[table],) = con.execute(
+                f"SELECT count(*) FROM read_parquet('{BASE}/{table}.parquet')"
+            ).fetchone()
+        return counts[table]
+
+    if "events" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id + u.r * {cnt("events")} AS event_id, ts,
+                     user_id + u.r * 1000000 AS user_id,
+                     event_type, value, props
+              FROM read_parquet('{BASE}/events.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/events.parquet' (FORMAT PARQUET)
+            """
+        )
 
     # part replica for the fuzzy join: suffix the name with the replica
     # index — replica vocabularies are token-disjoint (last token
@@ -198,35 +235,31 @@ def build_copy(spark) -> None:
     # custkeys shift by the SAME 1e6-per-replica span as events'
     # user_ids, preserving the fact->interval join structure per
     # replica (10x users, same per-user history each).
-    (np_,) = con.execute(
-        f"SELECT count(*) FROM read_parquet('{BASE}/part.parquet')"
-    ).fetchone()
-    con.execute(
-        f"""
-        COPY (
-          SELECT p_partkey + u.r * {np_} AS p_partkey,
-                 CASE WHEN u.r = 0 THEN p_name
-                      ELSE p_name || '_' || u.r END AS p_name,
-                 * EXCLUDE (p_partkey, p_name)
-          FROM read_parquet('{BASE}/part.parquet'),
-               unnest(range({REPS})) AS u(r)
-        ) TO '{BIG}/part.parquet' (FORMAT PARQUET)
-        """
-    )
-    (no_,) = con.execute(
-        f"SELECT count(*) FROM read_parquet('{BASE}/orders.parquet')"
-    ).fetchone()
-    con.execute(
-        f"""
-        COPY (
-          SELECT o_orderkey + u.r * {no_} AS o_orderkey,
-                 o_custkey + u.r * 1000000 AS o_custkey,
-                 * EXCLUDE (o_orderkey, o_custkey)
-          FROM read_parquet('{BASE}/orders.parquet'),
-               unnest(range({REPS})) AS u(r)
-        ) TO '{BIG}/orders.parquet' (FORMAT PARQUET)
-        """
-    )
+    if "part" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT p_partkey + u.r * {cnt("part")} AS p_partkey,
+                     CASE WHEN u.r = 0 THEN p_name
+                          ELSE p_name || '_' || u.r END AS p_name,
+                     * EXCLUDE (p_partkey, p_name)
+              FROM read_parquet('{BASE}/part.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/part.parquet' (FORMAT PARQUET)
+            """
+        )
+    if "orders" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT o_orderkey + u.r * {cnt("orders")} AS o_orderkey,
+                     o_custkey + u.r * 1000000 AS o_custkey,
+                     * EXCLUDE (o_orderkey, o_custkey)
+              FROM read_parquet('{BASE}/orders.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/orders.parquet' (FORMAT PARQUET)
+            """
+        )
 
     # supplier replica for ext_balance_percentile (the round-9 smoke
     # list grew this query without growing the copy — the 10x pass
@@ -235,31 +268,30 @@ def build_copy(spark) -> None:
     # ext_inventory_drawdown: l_partkey shifts per replica, so 10x
     # parts each carry the SAME flow history (per-part windows see
     # constant work; output scales linearly).
-    (ns_,) = con.execute(
-        f"SELECT count(*) FROM read_parquet('{BASE}/supplier.parquet')"
-    ).fetchone()
-    con.execute(
-        f"""
-        COPY (
-          SELECT s_suppkey + u.r * {ns_} AS s_suppkey,
-                 * EXCLUDE (s_suppkey)
-          FROM read_parquet('{BASE}/supplier.parquet'),
-               unnest(range({REPS})) AS u(r)
-        ) TO '{BIG}/supplier.parquet' (FORMAT PARQUET)
-        """
-    )
-    con.execute(
-        f"""
-        COPY (
-          SELECT l_orderkey + u.r * {no_} AS l_orderkey,
-                 l_partkey + u.r * {np_} AS l_partkey,
-                 l_suppkey + u.r * {ns_} AS l_suppkey,
-                 * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
-          FROM read_parquet('{BASE}/lineitem.parquet'),
-               unnest(range({REPS})) AS u(r)
-        ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
-        """
-    )
+    if "supplier" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT s_suppkey + u.r * {cnt("supplier")} AS s_suppkey,
+                     * EXCLUDE (s_suppkey)
+              FROM read_parquet('{BASE}/supplier.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/supplier.parquet' (FORMAT PARQUET)
+            """
+        )
+    if "lineitem" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT l_orderkey + u.r * {cnt("orders")} AS l_orderkey,
+                     l_partkey + u.r * {cnt("part")} AS l_partkey,
+                     l_suppkey + u.r * {cnt("supplier")} AS l_suppkey,
+                     * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+              FROM read_parquet('{BASE}/lineitem.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
     con.close()
 
 

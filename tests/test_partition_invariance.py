@@ -20,34 +20,54 @@ from __future__ import annotations
 import pytest
 
 from bigdata_spark_realtime_spark.plans import registry
-from test_registry import PENDING_FIRST_DRIVER_ROW, R10_TARGETS
+from test_registry import CURRENT_ROTATION_TARGETS, PENDING_FIRST_DRIVER_ROW
+
+
+def _canon(v):
+    """Totally-orderable, NaN-stable stand-in for a cell value.
+
+    Raw rows fail both comparisons this test needs: NaN != NaN makes
+    identical results compare unequal, and container cells (maps,
+    arrays of structs) are unorderable under sorted(). Every value maps
+    to a nested tuple of primitives where NaN collapses to a marker and
+    containers recurse, so sort and equality are well-defined for any
+    schema a future pending query might emit."""
+    if v is None:
+        return (0,)
+    if isinstance(v, float) and v != v:
+        return (1,)
+    if isinstance(v, dict):
+        return (2, tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple)):
+        return (3, tuple(_canon(x) for x in v))
+    return (4, type(v).__name__, repr(v))
 
 
 def _rows(session, fn, sf_dir):
     df = fn(session, sf_dir)
     cols = sorted(df.columns)
-    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
-    # NULLs sort first (None is not orderable against values)
-    return sorted(
-        rows, key=lambda t: tuple((v is not None, v) for v in t)
-    )
+    rows = [
+        tuple(_canon(r[c]) for c in cols)
+        for r in df.select(*cols).collect()
+    ]
+    return sorted(rows)
 
 
 @pytest.fixture(scope="module")
 def perturbed(spark):
     """Sibling session with a different shuffle layout. newSession()
-    shares the JVM/catalog but takes its own SQL confs, so this is the
-    cheapest honest way to vary partitioning."""
+    shares the JVM/catalog but takes its own SQL confs (discarded with
+    the session), so this is the cheapest honest way to vary
+    partitioning."""
     s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "5")
-    yield s
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    return s
 
 
 #: never-driver-verified queries plus the current rotation's targets —
 #: the queries whose next driver row is their FIRST; a layout-dependent
 #: result would fail that one shot
-_AT_RISK = sorted(PENDING_FIRST_DRIVER_ROW | R10_TARGETS)
+_AT_RISK = sorted(PENDING_FIRST_DRIVER_ROW | CURRENT_ROTATION_TARGETS)
 
 
 @pytest.mark.parametrize("name", _AT_RISK)

@@ -113,7 +113,8 @@ EXPECTED_PER_MODULE = {
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; the NEXT rotations must move them into
 #: the window and empty this set. The executed R10 rotation drained 36
-#: of round 9's 68; these 32 stragglers drain via the simulated R11
+#: of round 9's 68; these 33 (32 stragglers + the round-10 null-hash
+#: probe) drain via the simulated R11
 #: (dedup trio + ext_annops + streaming_queries residual + no-drag late
 #: modules, ~25 pending) and R12 (fulfillment/unpivot/decile/cohort
 #: finishers + r5/r7-era refreshes) windows.
@@ -203,6 +204,11 @@ R10_TARGETS = {
     "ext_selfjoin_size_f2", "stream_selfjoin_size", "ext_fk_audit",
     "ext_zorder_key", "ext_distribution_drift", "ext_event_mix_gini",
 }
+
+#: stable alias for dependents (test_partition_invariance.py): each
+#: rotation rebinds this to the new R{N}_TARGETS so importers survive
+#: the rename
+CURRENT_ROTATION_TARGETS = R10_TARGETS
 
 
 def test_r10_gate_window_is_pinned():

@@ -222,11 +222,12 @@ def test_fuzzy_join_fat_block_splits_by_length_band(spark, tmp_path):
     """Adversarial degenerate naming scheme: EVERY name ends with the
     same token ("pro"), collapsing the token block to the whole
     vocabulary. The composite (token, ⌊len/3⌋ band) key must still
-    split that block — and recall must survive band boundaries: lengths
-    9 ("abcde pro") and 10 ("abcdex pro") sit in bands 3 and 3, while
-    11 ("abcdexy pro") sits in band 3; the planted cross-band pair is
-    lengths 11 and 13 (bands 3 and 4), reachable only through the
-    3-way band explosion."""
+    split that block — and recall must survive band boundaries: the
+    planted lengths are 9/11/13/13 (bands 3/3/4/4). The in-band pair is
+    lengths 9 and 11 ("abcde pro"/"abcdexy pro", both band 3); the
+    cross-band pair is lengths 11 and 13 ("abcdexy pro"/
+    "abcdexyzw pro", bands 3 and 4), reachable only through the 3-way
+    band explosion."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
