@@ -55,12 +55,17 @@ def _rows(session, fn, sf_dir):
 
 @pytest.fixture(scope="module")
 def perturbed(spark):
-    """Sibling session with a different shuffle layout. newSession()
-    shares the JVM/catalog but takes its own SQL confs (discarded with
-    the session), so this is the cheapest honest way to vary
-    partitioning."""
+    """Sibling session with a deliberately different execution layout.
+    newSession() shares the JVM/catalog but takes its own SQL confs
+    (discarded with the session), so this is the cheapest honest way
+    to vary all three layout axes at once: a prime shuffle partition
+    count, tiny scan splits (different map-side partial boundaries),
+    and AQE off (no runtime coalescing — the driver's session may
+    plan either way)."""
     s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "5")
+    s.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     return s
 
 
