@@ -102,23 +102,35 @@ def build_copy(spark) -> None:
     # (e.g. round 9's, which lacked the TPC-H replicas) only rebuilds
     # the genuinely missing files — the Spark-built documents /
     # embeddings replicas are minutes of work and must not be redone
-    # because a cheap duckdb COPY target is absent
+    # because a cheap duckdb COPY target is absent. The marker pins
+    # (BASE, REPS): replica key spans derive from the base's table
+    # counts, so tables built against a DIFFERENT base would carry
+    # incompatible spans — on a marker mismatch everything rebuilds.
+    tables = (
+        "documents",
+        "embeddings",
+        "events",
+        "part",
+        "orders",
+        "supplier",
+        "lineitem",
+    )
+    marker = os.path.join(BIG, ".base")
+    stamp = f"{os.path.abspath(BASE)}|{REPS}"
+    coherent = (
+        os.path.exists(marker) and open(marker).read().strip() == stamp
+    )
     missing = {
         t
-        for t in (
-            "documents",
-            "embeddings",
-            "events",
-            "part",
-            "orders",
-            "supplier",
-            "lineitem",
-        )
-        if not os.path.exists(os.path.join(BIG, f"{t}.parquet"))
+        for t in tables
+        if not coherent
+        or not os.path.exists(os.path.join(BIG, f"{t}.parquet"))
     }
     if not missing:
         return
     os.makedirs(BIG, exist_ok=True)
+    if os.path.exists(marker):
+        os.remove(marker)  # invalid until the rebuild below completes
     if "documents" in missing:
         _build_documents_copy(spark, load_table)
     if "embeddings" in missing:
@@ -126,6 +138,8 @@ def build_copy(spark) -> None:
     duck_missing = missing & {"events", "part", "orders", "supplier", "lineitem"}
     if duck_missing:
         _build_duck_copies(duck_missing)
+    with open(marker, "w") as f:
+        f.write(stamp)
 
 
 def _build_documents_copy(spark, load_table) -> None:

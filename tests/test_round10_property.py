@@ -18,7 +18,6 @@ sampling.
 
 from __future__ import annotations
 
-import hashlib
 import math
 from collections import Counter, defaultdict
 
@@ -27,66 +26,20 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-HOUR_US = 3_600 * 1_000_000
-T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+from property_util import HOUR_US, T0
+from property_util import events_con as _events_con
+from property_util import events_strategy
+from property_util import h32 as _h32
+from property_util import mk_rows as _mk_rows
+from property_util import octave_bucket as _octave_bucket
 
+ev_strategy = events_strategy()
 
-def _h32(s: str) -> int:
-    """Python twin of functions/hashing.h32: first 8 md5 hex digits."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
-def _events_con(rows):
-    """rows: (event_id, ts_us, user_id, event_type, value)"""
-    df = pd.DataFrame(
-        {
-            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
-            "ts": pd.Series(
-                [pd.Timestamp(r[1], unit="us") for r in rows],
-                dtype="datetime64[us]",
-            ),
-            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
-            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
-            "value": pd.Series([r[4] for r in rows], dtype="float64"),
-            "props": pd.Series([None] * len(rows), dtype="object"),
-        }
-    )
-    con = duckdb.connect()
-    con.register("events", df)
-    return con
-
-
-ev_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 72),          # hour offset
-        st.integers(0, 3_599),       # second within hour
-        st.integers(1, 5),           # user
-        st.sampled_from(["click", "view"]),
-        st.integers(1, 9_999),       # cents
-    ),
-    min_size=1,
-    max_size=40,
+#: funnel-shaped strategy: types include the staged funnel's three;
+#: hours span the 7 d conversion window
+funnel_strategy = events_strategy(
+    max_hour=240, max_user=4, types=("signup", "click", "purchase", "view")
 )
-
-#: funnel-shaped strategy: types include the staged funnel's three
-funnel_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 240),         # hour offset (spans the 7 d window)
-        st.integers(0, 3_599),
-        st.integers(1, 4),
-        st.sampled_from(["signup", "click", "purchase", "view"]),
-        st.integers(1, 9_999),
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-def _mk_rows(raw):
-    return [
-        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, cents / 100.0)
-        for i, (h, s, u, t, cents) in enumerate(raw)
-    ]
 
 
 # ---------------------------------------------------------------------------
@@ -135,13 +88,6 @@ def test_bigram_pmi_oracle_matches_python_reference(doc_toks):
 # ---------------------------------------------------------------------------
 # equi-depth binning (plans/ext_binning.py)
 # ---------------------------------------------------------------------------
-
-
-def _octave_bucket(v100: int) -> int:
-    if v100 < 8:
-        return v100
-    bl = v100.bit_length()
-    return (bl << 3) | (v100 >> (bl - 3))
 
 
 @settings(max_examples=15, deadline=None)

@@ -16,7 +16,6 @@ the first random graph that has one.
 
 from __future__ import annotations
 
-import hashlib
 import itertools
 import json
 import math
@@ -27,58 +26,13 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-HOUR_US = 3_600 * 1_000_000
-T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+from property_util import HOUR_US, T0
+from property_util import events_con as _events_con
+from property_util import events_strategy
+from property_util import h32 as _h32
+from property_util import mk_rows as _mk_rows
 
-
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
-def _events_df(rows, props=None):
-    """rows: (event_id, ts_us, user_id, event_type, value)"""
-    return pd.DataFrame(
-        {
-            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
-            "ts": pd.Series(
-                [pd.Timestamp(r[1], unit="us") for r in rows],
-                dtype="datetime64[us]",
-            ),
-            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
-            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
-            "value": pd.Series([r[4] for r in rows], dtype="float64"),
-            "props": pd.Series(
-                props if props is not None else [None] * len(rows),
-                dtype="object",
-            ),
-        }
-    )
-
-
-def _events_con(rows, props=None):
-    con = duckdb.connect()
-    con.register("events", _events_df(rows, props))
-    return con
-
-
-ev_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 72),
-        st.integers(0, 3_599),
-        st.integers(1, 5),
-        st.sampled_from(["click", "view"]),
-        st.integers(1, 9_999),
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-def _mk_rows(raw):
-    return [
-        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, cents / 100.0)
-        for i, (h, s, u, t, cents) in enumerate(raw)
-    ]
+ev_strategy = events_strategy()
 
 
 # ---------------------------------------------------------------------------

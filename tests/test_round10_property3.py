@@ -9,21 +9,19 @@ random input that exercises it.
 
 from __future__ import annotations
 
-import hashlib
 import math
 from collections import Counter, defaultdict
 
-import duckdb
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-HOUR_US = 3_600 * 1_000_000
-T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
-
-
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+from property_util import HOUR_US, T0
+from property_util import events_con as _events_con
+from property_util import events_strategy
+from property_util import h32 as _h32
+from property_util import mk_rows as _mk_rows
+from property_util import octave_bucket as _octave_bucket
 
 
 def _hll_parts(user_ids, m: int, s: int):
@@ -40,47 +38,8 @@ def _hll_parts(user_ids, m: int, s: int):
     return regs, sum_scaled, len(regs)
 
 
-def _events_con(rows, user_null_mask=None):
-    n = len(rows)
-    users = [r[2] for r in rows]
-    if user_null_mask:
-        users = [None if mask else u for u, mask in zip(users, user_null_mask)]
-    df = pd.DataFrame(
-        {
-            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
-            "ts": pd.Series(
-                [pd.Timestamp(r[1], unit="us") for r in rows],
-                dtype="datetime64[us]",
-            ),
-            "user_id": pd.Series(users, dtype="Int64"),
-            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
-            "value": pd.Series([r[4] for r in rows], dtype="float64"),
-            "props": pd.Series([None] * n, dtype="object"),
-        }
-    )
-    con = duckdb.connect()
-    con.register("events", df)
-    return con
-
-
-ev_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 72),
-        st.integers(0, 3_599),
-        st.integers(1, 50),           # wider user space for the sketches
-        st.sampled_from(["click", "view"]),
-        st.integers(1, 9_999),
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-def _mk_rows(raw):
-    return [
-        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, cents / 100.0)
-        for i, (h, s, u, t, cents) in enumerate(raw)
-    ]
+#: wider user space for the sketches
+ev_strategy = events_strategy(max_user=50)
 
 
 # ---------------------------------------------------------------------------
@@ -121,13 +80,6 @@ def test_hll_hourly_rollup_oracle_matches_python_registers(raw):
 # ---------------------------------------------------------------------------
 # approx aggregates (plans/olap_extras.py)
 # ---------------------------------------------------------------------------
-
-
-def _octave_bucket(v100: int) -> int:
-    if v100 < 8:
-        return v100
-    bl = v100.bit_length()
-    return (bl << 3) | (v100 >> (bl - 3))
 
 
 @settings(max_examples=15, deadline=None)

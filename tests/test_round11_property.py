@@ -17,7 +17,6 @@ twin-equals-batch contract.
 from __future__ import annotations
 
 import datetime
-import hashlib
 import math
 from collections import Counter, defaultdict
 
@@ -26,66 +25,15 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-HOUR_US = 3_600 * 1_000_000
-DAY_US = 24 * HOUR_US
-T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+from property_util import DAY_US, HOUR_US, T0
+from property_util import day_str as _day_str
+from property_util import events_con as _events_con
+from property_util import events_strategy
+from property_util import h32 as _h32
+from property_util import mk_rows as _mk_rows
+from property_util import octave_bucket as _octave
 
-
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
-def _octave(v: int) -> int:
-    if v < 8:
-        return v
-    bl = v.bit_length()
-    return (bl << 3) | (v >> (bl - 3))
-
-
-def _events_con(rows, props=None):
-    df = pd.DataFrame(
-        {
-            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
-            "ts": pd.Series(
-                [pd.Timestamp(r[1], unit="us") for r in rows],
-                dtype="datetime64[us]",
-            ),
-            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
-            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
-            "value": pd.Series([r[4] for r in rows], dtype="float64"),
-            "props": pd.Series(
-                props if props is not None else [None] * len(rows),
-                dtype="object",
-            ),
-        }
-    )
-    con = duckdb.connect()
-    con.register("events", df)
-    return con
-
-
-ev_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 72),
-        st.integers(0, 3_599),
-        st.integers(1, 5),
-        st.sampled_from(["view", "click", "purchase"]),
-        st.integers(1, 9_999),
-    ),
-    min_size=1,
-    max_size=40,
-)
-
-
-def _mk_rows(raw):
-    return [
-        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, cents / 100.0)
-        for i, (h, s, u, t, cents) in enumerate(raw)
-    ]
-
-
-def _day_str(us: int) -> str:
-    return pd.Timestamp(us // 1_000_000, unit="s").strftime("%Y-%m-%d")
+ev_strategy = events_strategy(types=("view", "click", "purchase"))
 
 
 # ---------------------------------------------------------------------------
@@ -505,9 +453,9 @@ def test_inventory_drawdown_oracle_matches_python_reference(raw):
     expect = {}
     for pk, moves in per_part.items():
         moves.sort()
-        bal = peak = 0
-        max_dd = None
+        bal = 0
         peak = None
+        max_dd = None
         for _, _, _, q in moves:
             bal += q
             peak = bal if peak is None else max(peak, bal)

@@ -16,22 +16,9 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-HOUR_US = 3_600 * 1_000_000
-DAY_US = 24 * HOUR_US
-T0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+from property_util import DAY_US, day_str, events_con, events_strategy, mk_rows
 
-
-ev_strategy = st.lists(
-    st.tuples(
-        st.integers(0, 240),
-        st.integers(0, 3_599),
-        st.integers(1, 5),
-        st.sampled_from(["click", "view"]),
-        st.integers(1, 9_999),
-    ),
-    min_size=1,
-    max_size=40,
-)
+ev_strategy = events_strategy(max_hour=240)
 
 
 @settings(max_examples=15, deadline=None)
@@ -39,25 +26,8 @@ ev_strategy = st.lists(
 def test_retention_cohorts_oracle_matches_python_reference(raw):
     from bigdata_spark_realtime_spark.plans.ext_funnel import RETENTION_ORACLE
 
-    rows = [
-        (i + 1, T0 + h * HOUR_US + s * 1_000_000, u, t, c / 100.0)
-        for i, (h, s, u, t, c) in enumerate(raw)
-    ]
-    df = pd.DataFrame(
-        {
-            "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
-            "ts": pd.Series(
-                [pd.Timestamp(r[1], unit="us") for r in rows],
-                dtype="datetime64[us]",
-            ),
-            "user_id": pd.Series([r[2] for r in rows], dtype="int64"),
-            "event_type": pd.Series([r[3] for r in rows], dtype="object"),
-            "value": pd.Series([r[4] for r in rows], dtype="float64"),
-            "props": pd.Series([None] * len(rows), dtype="object"),
-        }
-    )
-    con = duckdb.connect()
-    con.register("events", df)
+    rows = mk_rows(raw)
+    con = events_con(rows)
     got = {
         (r.cohort_day, r.day_offset): r.n_users
         for r in con.sql(RETENTION_ORACLE).df().itertuples()
@@ -71,13 +41,7 @@ def test_retention_cohorts_oracle_matches_python_reference(raw):
         for d in ds:
             grid[(cohort, d - cohort)] += 1
     expect = {
-        (
-            pd.Timestamp(cd * DAY_US // 1_000_000, unit="s").strftime(
-                "%Y-%m-%d"
-            ),
-            off,
-        ): n
-        for (cd, off), n in grid.items()
+        (day_str(cd * DAY_US), off): n for (cd, off), n in grid.items()
     }
     assert got == expect
 
