@@ -102,6 +102,15 @@ HEADLINE: tuple[str, ...] = (
     "ext_fuzzy_join_editdist",      # (token, len-band)-blocked Levenshtein
     "ext_session_paths",            # per-session ordered event paths top-K
     "ext_contract_audit",           # single-scan schema-contract audit
+    # round-11 additions: representative R11 gate-window picks (judge
+    # task #5 — bench stays in lockstep with what the driver checks)
+    "ext_time_to_convert",          # first-view→first-purchase latency per cohort
+    "ext_trending_items",           # per-hour rising items via lag on bounded partials
+    "ext_cohort_value",             # cohort LTV curve, cumulative window on day grid
+    "ext_embedding_dim_stats",      # per-dimension audit: explode + 64-key groupBy
+    "ext_decayed_leaderboard",      # integer half-life decayed cents top-K
+    "ext_item_communities",         # min-label propagation on co-visitation graph
+    "ext_session_paths_daily",      # day-bounded sessionization (production profile)
 )
 
 

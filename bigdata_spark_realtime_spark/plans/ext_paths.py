@@ -23,7 +23,15 @@ Scale (100 TB): sessionization is the user-keyed window every other
 session operator shares; the path census shuffles (path → count) on
 path-cardinality rows (bounded by #event_type³); top-20 compiles to
 TakeOrderedAndProject. The A/B aggregate is two map-side-combined
-groupBys on user-cardinality rows.
+groupBys on user-cardinality rows. The base census partitions its sort
+window by user_id alone — fine at this corpus (bounded per-user event
+counts) and inherent to cross-day sessionization, but on an unbounded
+event log a user's lifetime history would sit in one sort buffer;
+`ext_session_paths_daily` is the production profile with the same
+composite (user_id, day) retention horizon
+`ext_event_transitions_daily` uses (registered by
+plans/ext_paths_daily.py — this module sits inside the pinned r11
+gate window, so registering here would splice it).
 """
 
 from __future__ import annotations
@@ -96,6 +104,93 @@ def ext_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= PATH_LEN
     )
     paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            *[
+                F.max(F.when(F.col("rn") == i, F.col("event_type")))
+                for i in range(1, PATH_LEN + 1)
+            ],
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_PATHS_DAILY_ORACLE = f"""
+WITH marks AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {_GAP_MS}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, day, event_type, ts, event_id,
+         CAST(sum(ns) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marks
+),
+ranked AS (
+  SELECT user_id, day, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, day, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, day, session_id,
+         concat_ws('>',
+           max(CASE WHEN rn = 1 THEN event_type END),
+           max(CASE WHEN rn = 2 THEN event_type END),
+           max(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, day, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
+# registered by plans/ext_paths_daily.py — this module's own
+# registrations land inside the pinned r11 gate window, so a register()
+# call here would splice the window (see registry._PLAN_MODULES)
+def ext_session_paths_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bounded variant of :func:`ext_session_paths` — the
+    production profile for an unbounded event log: every window
+    partitions by (user_id, event day), so a session never crosses
+    midnight (explicit retention horizon, same contract as
+    `ext_event_transitions_daily`) and per-partition sort state is
+    bounded by a user's single-day event count, never their lifetime
+    history. A midnight-spanning visit counts as two sessions — the
+    deliberate, documented cost of the horizon.
+
+    Scale (100 TB): the composite partition key keeps every window
+    partition small, and partition pruning on the day column slices the
+    scan when the census is computed incrementally per day."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gap = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    ns = F.when(F.lag("ts").over(w).isNull() | (gap > _GAP_MS), 1).otherwise(0)
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", day.alias("day"), "ts", "event_id", "event_type"
+    ).withColumn("session_id", F.sum(ns).over(run_w).cast("bigint"))
+    rank_w = Window.partitionBy("user_id", "day", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    ranked = sess.withColumn("rn", F.row_number().over(rank_w)).where(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = ranked.groupBy("user_id", "day", "session_id").agg(
         F.concat_ws(
             ">",
             *[

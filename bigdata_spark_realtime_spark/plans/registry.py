@@ -51,24 +51,46 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r10 window (exactly 50 queries): 36 round-9 additions that had NO
-    # driver row after r5-r9, packed by the 27-module head below with 14
+    # r11 window (exactly 50 queries): 26 of the 33 queries that had NO
+    # driver row after r5-r10 (every pending except the seven R12
+    # stragglers), packed by the twelve-module head below with 24
     # already-green drag fillers (precomputed + simulation-verified at
-    # the end of round 9 in plans/ROTATION_R10.md, deleted in the
+    # the end of round 10 in plans/ROTATION_R11.md, deleted in the
     # rotation commit). Import side effects counted in the window:
-    # ext_funnel_tail pulls ext_funnel's 4 base queries forward;
-    # ext_graphtri reuses them; ext_sketch_window pulls ext_sketch
-    # (hll/cms); olap_extras then adds only rollup_region_nation +
-    # approx_aggregates; ext_attrib pulls ext_rangejoin;
-    # ext_stream_tail2 reuses ext_colloc; ext_pit reuses ext_scd2;
-    # ext_sampling_tail pulls ext_sampling's 3; ext_timeseries2 reuses
-    # ext_timeseries; ext_concurrency pulls sessionize's 3; ext_paths
-    # reuses them. r5 U r6 U r7 U r8 U r9 U r10 = every query registered
-    # before the round-9c wave driver-verified; the 33 pending (32
-    # stragglers + the round-10 null-hash probe) are
-    # pinned in tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain
-    # via the simulated R11/R12 rotations (see ROTATION_R10.md's s3 as
-    # archived in the round-10 commit message / VERDICT).
+    # ext_stream_tail4 imports ext_cohortval/ext_decay/ext_windows2 —
+    # all three sit earlier, so it adds only its own 3 twins;
+    # ext_windows2 pulls sessionize's 3; ext_stream_tail3 then adds its
+    # 14 remaining registrations (9 of them r10-green fillers);
+    # ext_communities pulls ext_funnel's 4 base queries; ext_embaudit
+    # pulls ext_embed's 4; ext_annops after it adds only ivf_topk + its
+    # 2 pending; sort_limit's 3 r7-era rows close the window (era
+    # refresh). Once this window's driver rows land (CORRECTNESS_r11),
+    # every query except the seven R12 stragglers has a driver-verified
+    # row; the stragglers are pinned in
+    # tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain via the
+    # simulated R12 rotation (plans/ROTATION_R12.md).
+    "bigdata_spark_realtime_spark.plans.ext_nullprobe",
+    "bigdata_spark_realtime_spark.plans.ext_convert",
+    "bigdata_spark_realtime_spark.plans.ext_cohortval",
+    "bigdata_spark_realtime_spark.plans.ext_decay",
+    "bigdata_spark_realtime_spark.plans.ext_rolling",
+    "bigdata_spark_realtime_spark.plans.ext_windows2",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail4",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
+    "bigdata_spark_realtime_spark.plans.ext_communities",
+    "bigdata_spark_realtime_spark.plans.ext_embaudit",
+    "bigdata_spark_realtime_spark.plans.ext_annops",
+    # round-11 addition, seated directly in the window (slot 48): its
+    # ext_paths import is a no-op re-import (ext_stream_tail3 loaded it
+    # earlier), so it adds exactly one registration and displaces only
+    # sort_limit's third era-refresh slot (l4_field_fetch_cap → 51)
+    "bigdata_spark_realtime_spark.plans.ext_paths_daily",
+    "bigdata_spark_realtime_spark.plans.sort_limit",
+    # below here every query is OUTSIDE the 50-slot gate window. All
+    # were driver-verified in r5-r10 except the 7 pinned stragglers
+    # (PENDING_FIRST_DRIVER_ROW); everything stays covered by both
+    # local oracle mirrors (tests/test_queries_oracle.py at sf0.001,
+    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_graphtri",
@@ -96,11 +118,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_fkaudit",
     "bigdata_spark_realtime_spark.plans.ext_zorder",
     "bigdata_spark_realtime_spark.plans.ext_drift",
-    # below here every query is OUTSIDE the 50-slot gate window. All
-    # were driver-verified in r5-r9 except the 32 pinned stragglers
-    # (PENDING_FIRST_DRIVER_ROW); everything stays covered by both
-    # local oracle mirrors (tests/test_queries_oracle.py at sf0.001,
-    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     "bigdata_spark_realtime_spark.plans.ext_dsir",
     "bigdata_spark_realtime_spark.plans.ext_bpe",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail",
@@ -137,7 +154,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_packing",
     "bigdata_spark_realtime_spark.plans.dedup",
     "bigdata_spark_realtime_spark.plans.aggregations",
-    "bigdata_spark_realtime_spark.plans.sort_limit",
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
@@ -150,20 +166,7 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_decontam",
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
-    "bigdata_spark_realtime_spark.plans.ext_annops",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
-    "bigdata_spark_realtime_spark.plans.ext_embaudit",
-    "bigdata_spark_realtime_spark.plans.ext_communities",
-    "bigdata_spark_realtime_spark.plans.ext_convert",
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
-    "bigdata_spark_realtime_spark.plans.ext_windows2",
-    "bigdata_spark_realtime_spark.plans.ext_decay",
-    "bigdata_spark_realtime_spark.plans.ext_rolling",
-    "bigdata_spark_realtime_spark.plans.ext_cohortval",
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail4",
-    # round 10 (splice rule: new queries register after the pinned
-    # window; in PENDING_FIRST_DRIVER_ROW until a rotation seats them)
-    "bigdata_spark_realtime_spark.plans.ext_nullprobe",
 )
 
 

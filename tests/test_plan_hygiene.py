@@ -497,8 +497,14 @@ def test_fuzzy_join_runs_on_vocabulary_not_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_fuzzy_join_editdist")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert re.search(r"Left keys \[2\]: \[blk#\d+, band#\d+", plan)
-    assert re.search(r"Right keys \[2\]: \[blk_b#\d+, band_b#\d+", plan)
+    # composite equi-key assertion kept format-tolerant (round-10
+    # advice): don't pin the "Left keys [2]:" literal — EXPLAIN's key
+    # count/ordering formatting is Spark-version-specific. Both block
+    # components must appear in the join's key list, whatever its shape.
+    left = re.search(r"Left keys[^:]*: \[([^\]]*)\]", plan)
+    right = re.search(r"Right keys[^:]*: \[([^\]]*)\]", plan)
+    assert left and "blk#" in left.group(1) and "band#" in left.group(1), plan
+    assert right and "blk_b#" in right.group(1) and "band_b#" in right.group(1), plan
     schemas = set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert schemas == {"p_name:string"}
 
@@ -551,6 +557,20 @@ def test_session_paths_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ext_session_paths")
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"\bSort \[.*\], true", plan)
+
+
+def test_session_paths_daily_windows_are_day_bounded(spark, sf_dir):
+    """The production-profile variant's whole point: EVERY window must
+    partition by the composite (user_id, day) key — a user's lifetime
+    history must never sit in one sort buffer — and the top-K must stay
+    TakeOrderedAndProject with no global sort anywhere."""
+    plan = _plan(spark, sf_dir, "ext_session_paths_daily")
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \[.*\], true", plan)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert re.match(r"user_id#\d+L?, day#\d+", spec), spec
 
 
 def test_ab_assignment_prunes_to_user_and_type(spark, sf_dir):

@@ -64,7 +64,11 @@ EXPECTED_PER_MODULE = {
     "ext_sampling2": 1,
     "ext_sketch2": 2,
     "ext_fkaudit": 1,
-    "ext_paths": 2,
+    # session_paths_daily is DEFINED in ext_paths (fn.__module__ counts
+    # it there) but REGISTERED by the ext_paths_daily head shim so it
+    # seats at r11 window slot 48 without splicing ext_paths' own slots
+    "ext_paths": 3,
+    "ext_paths_daily": 0,
     "ext_zorder": 1,
     "ext_embaudit": 2,
     "ext_drift": 2,
@@ -111,109 +115,94 @@ EXPECTED_PER_MODULE = {
 
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
-#: these having no driver row; the NEXT rotations must move them into
-#: the window and empty this set. The executed R10 rotation drained 36
-#: of round 9's 68; these 33 (32 stragglers + the round-10 null-hash
-#: probe) drain via the simulated R11
-#: (dedup trio + ext_annops + streaming_queries residual + no-drag late
-#: modules, ~25 pending) and R12 (fulfillment/unpivot/decile/cohort
-#: finishers + r5/r7-era refreshes) windows.
+#: these having no driver row; the NEXT rotation must move them into
+#: the window and empty this set. The executed R11 rotation drained 26
+#: of round 10's 33; these SEVEN stragglers (the dedup-family trio
+#: costs 10 drag slots and the four streaming twins live inside
+#: streaming_queries' ~32-slot residual — neither fit once the 26 were
+#: in) drain via the simulated R12 window (head: ext_split,
+#: ext_triplets, ext_dedup_impact, streaming_queries, scalar_fns,
+#: windows — which also refreshes the r5-era stream splits and the
+#: r7-era scalar_fns/windows rows), taking pending to ZERO.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "ext_null_hash_probe",
     "ext_split_leakage",
     "ext_contrastive_triplets",
     "ext_dedup_impact",
-    "ext_ivf_cell_stats",
-    "stream_kmeans_assign",
     "stream_retention_cohorts",
     "stream_snapshot_diff",
     "stream_multitouch_attribution",
     "stream_skew_audit",
-    "ext_embedding_dim_stats",
-    "ext_embedding_norm_census",
-    "ext_item_communities",
-    "ext_time_to_convert",
-    "stream_zorder_census",
-    "stream_ab_assignment",
-    "stream_event_mix_gini",
-    "ext_trending_items",
-    "ext_bounce_rate",
-    "ext_inventory_drawdown",
-    "ext_balance_percentile",
-    "stream_timeseries_gapfill",
-    "stream_distribution_drift",
-    "ext_decayed_leaderboard",
-    "ext_weighted_sample_stratified",
-    "ext_rolling_wau",
-    "ext_fulfillment_latency",
-    "ext_revenue_unpivot",
-    "ext_conversion_by_decile",
-    "ext_cohort_value",
-    "stream_trending_items",
-    "stream_decayed_leaderboard",
-    "stream_cohort_value",
 }
 
-#: The exact first-50 registration window the round-10 external
-#: correctness gate sees: the 36 round-9 additions that had no driver
-#: row after r5-r9, plus 14 already-green fillers dragged in by module
-#: import order (ext_funnel_tail pulls ext_funnel's base queries;
-#: ext_sketch_window pulls ext_sketch's hll/cms; ext_attrib pulls
-#: ext_rangejoin; ext_sampling_tail pulls ext_sampling's 3;
-#: ext_concurrency pulls sessionize's 3). r5-r10 union = every query
-#: registered before the round-9c wave driver-verified.
+#: The exact first-50 registration window the round-11 external
+#: correctness gate sees: 26 queries that had no driver row after
+#: r5-r10 (every pending except the seven R12 stragglers), plus the
+#: round-11 addition ext_session_paths_daily seated directly at slot
+#: 48 (ext_paths_daily shim — first driver row in its own round), plus
+#: 23 already-green fillers dragged in by module import order
+#: (ext_windows2 pulls sessionize's 3; ext_stream_tail3 drags 9
+#: r10-green fillers; ext_communities pulls ext_funnel's 4;
+#: ext_embaudit pulls ext_embed's 4; ext_annops adds ivf_topk;
+#: sort_limit's l1/l2 close the window as an r7-era refresh — its
+#: third, l4_field_fetch_cap, was displaced to slot 51 by the daily
+#: variant and re-seats in a later rotation; it keeps its r7 row).
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R10_WINDOW = [
-    "ext_funnel_steps", "ext_retention_cohorts", "ext_item_cooccurrence",
-    "ext_event_transitions", "ext_event_transitions_daily",
-    "ext_funnel_conversion", "ext_item_pagerank", "ext_triangle_count",
-    "ext_hll_distinct", "ext_cms_freq", "ext_hll_hourly_rollup",
-    "rollup_region_nation", "approx_aggregates",
-    "ext_range_join_attribution", "ext_multitouch_attribution",
-    "ext_snapshot_diff", "ext_bigram_pmi", "stream_bigram_pmi",
-    "ext_skew_audit", "ext_scd2_intervals", "ext_pit_scd2_join",
-    "ext_rollup_anomaly", "ext_setsim_join", "ext_equidepth_bins",
-    "ext_contract_audit", "stream_contract_audit", "ext_sample_stratified",
-    "ext_curation_pipeline", "ext_sample_source_cap", "ext_sample_topk_hash",
-    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
-    "ext_twa_value", "ext_seasonal_baseline", "ext_changepoint_cusum",
+R11_WINDOW = [
+    "ext_null_hash_probe", "ext_time_to_convert",
+    "ext_conversion_by_decile", "ext_cohort_value",
+    "ext_decayed_leaderboard", "ext_weighted_sample_stratified",
+    "ext_rolling_wau", "ext_fulfillment_latency", "ext_revenue_unpivot",
     "sessionize_events", "pivot_event_counts", "session_window_agg",
-    "ext_concurrency_peak", "ext_session_paths", "ext_ab_assignment",
-    "ext_fuzzy_join_editdist", "ext_weighted_sample_priority",
-    "ext_selfjoin_size_f2", "stream_selfjoin_size", "ext_fk_audit",
-    "ext_zorder_key", "ext_distribution_drift", "ext_event_mix_gini",
+    "ext_trending_items", "ext_bounce_rate", "ext_inventory_drawdown",
+    "ext_balance_percentile", "stream_trending_items",
+    "stream_decayed_leaderboard", "stream_cohort_value",
+    "ext_distribution_drift", "ext_event_mix_gini",
+    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
+    "ext_twa_value", "ext_session_paths", "ext_ab_assignment",
+    "ext_zorder_key", "stream_zorder_census", "stream_ab_assignment",
+    "stream_event_mix_gini", "stream_timeseries_gapfill",
+    "stream_distribution_drift", "ext_funnel_steps",
+    "ext_retention_cohorts", "ext_item_cooccurrence",
+    "ext_event_transitions", "ext_item_communities",
+    "ext_embed_quantize_int8", "ext_embed_centroids",
+    "ext_kmeans_assign", "ext_centroid_similarity",
+    "ext_embedding_dim_stats", "ext_embedding_norm_census",
+    "ext_ann_ivf_topk", "ext_ivf_cell_stats", "stream_kmeans_assign",
+    "ext_session_paths_daily",
+    "l1_pagination_page2", "l2_page_with_total",
 ]
 
-#: the 36 rows this window exists to verify (never driver-checked in
-#: r5-r9) — asserted as a subset so a future splice can't silently
-#: evict one while keeping the list length at 50
-R10_TARGETS = {
-    "ext_event_transitions_daily", "ext_funnel_conversion",
-    "ext_item_pagerank", "ext_triangle_count", "ext_hll_hourly_rollup",
-    "approx_aggregates", "ext_multitouch_attribution", "ext_snapshot_diff",
-    "ext_bigram_pmi", "stream_bigram_pmi", "ext_skew_audit",
-    "ext_scd2_intervals", "ext_pit_scd2_join", "ext_rollup_anomaly",
-    "ext_setsim_join", "ext_equidepth_bins", "ext_contract_audit",
-    "stream_contract_audit", "ext_sample_topk_hash",
-    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
-    "ext_twa_value", "ext_seasonal_baseline", "ext_changepoint_cusum",
-    "ext_concurrency_peak", "ext_session_paths", "ext_ab_assignment",
-    "ext_fuzzy_join_editdist", "ext_weighted_sample_priority",
-    "ext_selfjoin_size_f2", "stream_selfjoin_size", "ext_fk_audit",
-    "ext_zorder_key", "ext_distribution_drift", "ext_event_mix_gini",
+#: the 27 rows this window exists to verify (26 never driver-checked
+#: in r5-r10 + the round-11 ext_session_paths_daily) — asserted as a
+#: subset so a future splice can't silently evict one while keeping
+#: the list length at 50
+R11_TARGETS = {
+    "ext_null_hash_probe", "ext_time_to_convert",
+    "ext_conversion_by_decile", "ext_cohort_value",
+    "ext_decayed_leaderboard", "ext_weighted_sample_stratified",
+    "ext_rolling_wau", "ext_fulfillment_latency", "ext_revenue_unpivot",
+    "ext_trending_items", "ext_bounce_rate", "ext_inventory_drawdown",
+    "ext_balance_percentile", "stream_trending_items",
+    "stream_decayed_leaderboard", "stream_cohort_value",
+    "stream_zorder_census", "stream_ab_assignment",
+    "stream_event_mix_gini", "stream_timeseries_gapfill",
+    "stream_distribution_drift", "ext_item_communities",
+    "ext_embedding_dim_stats", "ext_embedding_norm_census",
+    "ext_ivf_cell_stats", "stream_kmeans_assign",
+    "ext_session_paths_daily",
 }
 
 #: stable alias for dependents (test_partition_invariance.py): each
 #: rotation rebinds this to the new R{N}_TARGETS so importers survive
 #: the rename
-CURRENT_ROTATION_TARGETS = R10_TARGETS
+CURRENT_ROTATION_TARGETS = R11_TARGETS
 
 
-def test_r10_gate_window_is_pinned():
+def test_r11_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r10 window, in order.
+    must be exactly the planned r11 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -224,9 +213,9 @@ def test_r10_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R10_WINDOW) == 50
-    assert len(R10_TARGETS) == 36
-    assert R10_TARGETS <= set(R10_WINDOW)
+    assert len(R11_WINDOW) == 50
+    assert len(R11_TARGETS) == 27
+    assert R11_TARGETS <= set(R11_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -240,7 +229,7 @@ def test_r10_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R10_WINDOW
+    assert got == R11_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -305,7 +294,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R10_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R11_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "

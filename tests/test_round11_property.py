@@ -679,3 +679,48 @@ def test_embedding_norm_census_oracle_matches_python_reference(vecs):
         o: (len(ns), min(ns), max(ns)) for o, ns in per_oct.items()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# day-bounded session paths (plans/ext_paths.py, round-11 addition —
+# seated directly in the R11 window at slot 48)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_strategy)
+def test_session_paths_daily_oracle_matches_python_reference(raw):
+    from bigdata_spark_realtime_spark.plans.ext_paths import (
+        PATH_LEN,
+        PATH_TOP_K,
+        SESSION_PATHS_DAILY_ORACLE,
+    )
+    from bigdata_spark_realtime_spark.plans.sessionize import SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    rows = _mk_rows(raw)
+    con = _events_con(rows)
+    got = [
+        (r.path, r.n_sessions)
+        for r in con.sql(SESSION_PATHS_DAILY_ORACLE).df().itertuples()
+    ]
+
+    # pure-python reference: per (user, utc-day) ordered by (ts,
+    # event_id), split on gap > 30 min, first-PATH_LEN prefix joined
+    per_day: dict = defaultdict(list)
+    for eid, us, u, t, _v in rows:
+        per_day[(u, us // DAY_US)].append((us, eid, t))
+    paths: Counter = Counter()
+    for evs in per_day.values():
+        evs.sort()
+        sessions: list[list[str]] = []
+        prev = None
+        for us, _eid, t in evs:
+            if prev is None or us - prev > gap_us:
+                sessions.append([])
+            sessions[-1].append(t)
+            prev = us
+        for s in sessions:
+            paths[">".join(s[:PATH_LEN])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOP_K]
+    assert got == expect

@@ -523,6 +523,41 @@ def test_session_paths_orders_prefix_steps(spark, tmp_path):
     )
 
 
+def test_session_paths_daily_splits_at_midnight(spark, tmp_path):
+    """The day-bounded variant's retention-horizon contract: a visit
+    whose events straddle midnight is ONE session for the base census
+    (gaps all < 30 min) but TWO sessions for the daily variant — each
+    day contributes its own path prefix."""
+    from bigdata_spark_realtime_spark.plans.ext_paths import (
+        SESSION_PATHS_DAILY_ORACLE,
+        ext_session_paths,
+        ext_session_paths_daily,
+    )
+
+    MIN_US = 60 * 1_000_000
+    day2 = T0 + 24 * 60 * MIN_US  # T0 is 2024-01-01T00:00:00Z
+    rows = [
+        # one continuous visit across midnight (every gap <= 15 min)
+        (1, day2 - 20 * MIN_US, 7, "view", 1.0, None),
+        (2, day2 - 5 * MIN_US, 7, "click", 1.0, None),
+        (3, day2 + 10 * MIN_US, 7, "purchase", 1.0, None),
+        (4, day2 + 20 * MIN_US, 7, "click", 1.0, None),
+    ]
+    _write_events(tmp_path, rows)
+
+    base = {r["path"]: r["n_sessions"] for r in
+            ext_session_paths(spark, str(tmp_path)).collect()}
+    daily = {r["path"]: r["n_sessions"] for r in
+             ext_session_paths_daily(spark, str(tmp_path)).collect()}
+    assert base == {"view>click>purchase": 1}
+    assert daily == {"view>click": 1, "purchase>click": 1}
+    assert_matches_oracle(
+        ext_session_paths_daily(spark, str(tmp_path)),
+        _duck(tmp_path),
+        SESSION_PATHS_DAILY_ORACLE,
+    )
+
+
 def test_ab_assignment_partitions_users_deterministically(spark, tmp_path):
     from bigdata_spark_realtime_spark.plans.ext_paths import (
         AB_ORACLE,
