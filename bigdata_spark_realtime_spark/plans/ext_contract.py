@@ -60,7 +60,7 @@ def contract_oracle_sql(rules: dict[str, tuple[str, str]], table: str, key: str)
        CAST(count(*) AS BIGINT) AS n_checked,
        CAST(count(*) FILTER (NOT coalesce({duck_pred}, false)) AS BIGINT)
          AS n_violations,
-       CAST(coalesce(min({key}) FILTER (NOT coalesce({duck_pred}, false)), -1)
+       CAST(min({key}) FILTER (NOT coalesce({duck_pred}, false))
             AS BIGINT) AS first_bad_key
 FROM {table}"""
         for name, (_, duck_pred) in rules.items()
@@ -77,13 +77,12 @@ def audit_aggs(rules: dict[str, tuple[str, str]], key: str) -> list:
         aggs.append(
             F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"v_{name}")
         )
-        # -1 sentinel for "no violations": a numeric-NULL column would
-        # hit the driver hash's unproven NULL path (the SCD2 OPEN_US
-        # lesson) — clean rules report -1, never NULL
+        # honest NULL for "no violations" — NULL-bearing BIGINTs ride
+        # the same hash path the r11 slot-1 ext_null_hash_probe proves;
+        # if that probe row FAILs the gate, this reverts to the -1
+        # sentinel (README "Documented semantics deviations")
         aggs.append(
-            F.coalesce(F.min(F.when(bad, F.col(key))), F.lit(-1))
-            .cast("bigint")
-            .alias(f"k_{name}")
+            F.min(F.when(bad, F.col(key))).cast("bigint").alias(f"k_{name}")
         )
     return aggs
 

@@ -12,11 +12,12 @@ This module is the experiment that settles it: a 5-row, fully
 deterministic query whose result carries a NULL-bearing BIGINT, a
 NULL-bearing DOUBLE and a NULL-bearing VARCHAR side by side (plus the
 int key, so ordering is unambiguous). Both engines produce the same
-NaN-coerced pandas frames locally; once the driver returns a green
-hash for this row, the ``-1`` sentinels can be reverted to honest
-NULLs (see README "Documented semantics deviations"). If it comes
-back FAIL, the sentinels stay and the deviation table gains its
-proof.
+NaN-coerced pandas frames locally. Round 11 seated this probe at gate
+slot 1 and reverted the sentinels to honest NULLs in the same round —
+safe because neither sentinel query sits inside the r11 window, so the
+probe's verdict lands before either rides the gate again. If the
+probe's row comes back FAIL, the sentinels return and the README
+deviation table gains its proof.
 """
 
 from __future__ import annotations

@@ -47,7 +47,7 @@ SELECT o.o_orderkey,
        o.o_custkey,
        epoch_us(o.o_orderdate) AS order_us,
        i.state AS state_at_order,
-       CAST(coalesce(i.valid_from_us, -1) AS BIGINT) AS state_since_us
+       CAST(i.valid_from_us AS BIGINT) AS state_since_us
 FROM orders o
 LEFT JOIN iv i
   ON o.o_custkey = i.user_id
@@ -97,10 +97,9 @@ def ext_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "order_us",
         "state_at_order",
-        # -1 sentinel for "no interval covers the order" (numeric-NULL
-        # columns are unproven in the driver hash; the string NULL in
-        # state_at_order is the driver-proven kind and stays)
-        F.coalesce("state_since_us", F.lit(-1)).cast("long").alias(
-            "state_since_us"
-        ),
+        # honest NULL for "no interval covers the order" — the r11
+        # slot-1 ext_null_hash_probe carries the same NULL-bearing
+        # BIGINT shape through the gate; if its row FAILs, this reverts
+        # to the -1 sentinel (README "Documented semantics deviations")
+        F.col("state_since_us").cast("long").alias("state_since_us"),
     )

@@ -1284,7 +1284,7 @@ def test_pit_join_same_microsecond_flip_matches_oracle(spark, tmp_path):
     out = ext_pit_scd2_join(spark, str(tmp_path))
     got = {r["o_orderkey"]: (r["state_at_order"], r["state_since_us"]) for r in out.collect()}
     assert got == {
-        100: (None, -1),            # predates every interval
+        100: (None, None),          # predates every interval
         101: ("a", t0 + 30),        # the tied flip resolves to "a", not "b"
         102: ("a", t0 + 30),
     }

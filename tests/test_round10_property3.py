@@ -171,8 +171,14 @@ def test_event_contract_audit_oracle_matches_python_reference(raw):
     ]
     mask = [null for *_, null in raw]
     con = _events_con(rows, user_null_mask=mask)
+    # first_bad_key is NULL for clean rules: pandas coerces the BIGINT
+    # column to float64/NaN, so normalize back to Optional[int]
     got = {
-        r.rule: (r.n_checked, r.n_violations, r.first_bad_key)
+        r.rule: (
+            r.n_checked,
+            r.n_violations,
+            None if pd.isna(r.first_bad_key) else int(r.first_bad_key),
+        )
         for r in con.sql(EVENT_CONTRACT_ORACLE).df().itertuples()
     }
     domain = {"click", "error", "purchase", "signup", "view"}
@@ -190,5 +196,5 @@ def test_event_contract_audit_oracle_matches_python_reference(raw):
             for (eid, us, u, t, v), null in zip(rows, mask)
             if not ok(eid, us, None if null else u, t, v)
         ]
-        expect[rule] = (len(rows), len(bad), min(bad) if bad else -1)
+        expect[rule] = (len(rows), len(bad), min(bad) if bad else None)
     assert got == expect
