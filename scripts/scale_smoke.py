@@ -129,7 +129,12 @@ def build_copy(spark) -> None:
     if not missing:
         return
     os.makedirs(BIG, exist_ok=True)
-    if os.path.exists(marker):
+    # only drop the marker when it exists but MISMATCHES the stamp (an
+    # incoherent dir whose spans can't be trusted): a coherent dir that
+    # merely lacks a cheap duckdb table keeps its marker, so a crash
+    # mid-fill can't force the next run to redo the minutes-long Spark
+    # documents/embeddings builds the per-table guard exists to avoid
+    if os.path.exists(marker) and not coherent:
         os.remove(marker)  # invalid until the rebuild below completes
     if "documents" in missing:
         _build_documents_copy(spark, load_table)
