@@ -201,6 +201,19 @@ def main() -> None:
     if flaky:
         payload["flaky"] = flaky
     print(json.dumps(payload))
+    # the round driver's BENCH_r{N}.json keeps only a 2 kB tail of this
+    # line — too short to parse once the headline set passed ~50
+    # queries (r9/r10 landed with parsed=null). Persist the full
+    # payload beside the repo so complete per-query numbers survive
+    # in-tree for every round (committed as BENCH_LOCAL.json).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:  # read-only checkout: stdout already has it
+        print(f"bench: could not write BENCH_LOCAL.json: {e!r}", file=sys.stderr)
     spark.stop()
 
 

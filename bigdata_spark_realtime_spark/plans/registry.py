@@ -63,8 +63,11 @@ _PLAN_MODULES = (
     # 14 remaining registrations (9 of them r10-green fillers);
     # ext_communities pulls ext_funnel's 4 base queries; ext_embaudit
     # pulls ext_embed's 4; ext_annops after it adds only ivf_topk + its
-    # 2 pending; sort_limit's 3 r7-era rows close the window (era
-    # refresh). Once this window's driver rows land (CORRECTNESS_r11),
+    # 2 pending; ext_paths_daily seats the round-11 addition at slot
+    # 48; sort_limit's l1/l2 close the window (r7-era refresh — its
+    # third, l4_field_fetch_cap, was displaced to slot 51 and re-seats
+    # in a later rotation). Once this window's driver rows land
+    # (CORRECTNESS_r11),
     # every query except the seven R12 stragglers has a driver-verified
     # row; the stragglers are pinned in
     # tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain via the

@@ -92,6 +92,9 @@ SMOKE_QUERIES = (
     "ext_scd2_intervals",
     "ext_pit_scd2_join",
     "ext_fuzzy_join_editdist",
+    # round-11 addition: the day-bounded census must scale like its
+    # day-bounded transitions sibling (events replica)
+    "ext_session_paths_daily",
 )
 
 
