@@ -200,12 +200,23 @@ def main() -> None:
     payload["loadavg_1m"] = [round(load_before, 2), round(os.getloadavg()[0], 2)]
     if flaky:
         payload["flaky"] = flaky
-    print(json.dumps(payload))
-    # the round driver's BENCH_r{N}.json keeps only a 2 kB tail of this
-    # line — too short to parse once the headline set passed ~50
-    # queries (r9/r10 landed with parsed=null). Persist the full
-    # payload beside the repo so complete per-query numbers survive
-    # in-tree for every round (committed as BENCH_LOCAL.json).
+    # The round driver's BENCH_r{N}.json captures only the LAST 2 kB of
+    # stdout; its `parsed` field works exactly when the whole JSON line
+    # fits that window (r6 parsed at ~1.9 kB; r8-r10 landed parsed=null
+    # once passes+3dp pushed past it). So stdout gets a COMPACT line —
+    # 2dp, no spaces, per-pass detail elided, and `value` LAST so the
+    # headline total sits inside the tail window even if the set grows —
+    # while the full payload (3dp + passes) persists in-tree as
+    # BENCH_LOCAL.json.
+    compact = {"metric": payload["metric"], "unit": payload["unit"]}
+    for k in ("flaky", "errors", "partial_sum_sec"):
+        if k in payload:
+            compact[k] = payload[k]
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["sf"] = payload["sf"]
+    compact["loadavg_1m"] = payload["loadavg_1m"]
+    compact["value"] = payload["value"]
+    print(json.dumps(compact, separators=(",", ":")))
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
