@@ -38,12 +38,17 @@ def main() -> int:
     ages = Counter(latest.get(n, 0) for n in names)
     print("queries by latest green round (0 = never):",
           dict(sorted(ages.items())))
+    never = sorted(n for n in names if n not in latest)
+    if never:
+        print(f"{len(never)} never verified (rotation targets, tracked by "
+              f"PENDING_FIRST_DRIVER_ROW / the in-flight window): "
+              f"{', '.join(never[:8])}{' …' if len(never) > 8 else ''}")
     stale = sorted(
-        (latest.get(n, 0), n) for n in names if latest.get(n, 0) < newest - 4
+        (latest[n], n) for n in names if n in latest and latest[n] < newest - 4
     )
-    print(f"{len(stale)} rows older than {newest - 4} (refresh candidates):")
+    print(f"{len(stale)} rows older than r{newest - 4} (refresh candidates):")
     for r, n in stale:
-        print(f"  r{r or '–'} {n}")
+        print(f"  r{r} {n}")
     return 0
 
 
