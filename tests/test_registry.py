@@ -313,3 +313,34 @@ def test_bench_headline_names_are_all_registered():
     missing = [n for n in bench.HEADLINE if n not in specs]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_bench_compact_stdout_line_fits_driver_tail_window():
+    """The round driver's BENCH_r{N}.json parses only when bench.py's
+    stdout JSON line fits its 2000-char tail capture (r8-r10 landed
+    parsed=null after the line outgrew it). Reconstruct the compact
+    line bench.py prints — worst-case 5-char timings for every current
+    HEADLINE query plus the fixed fields — and pin it under the window
+    with headroom for trailing shutdown noise. If this fails, a
+    HEADLINE addition pushed the line over: trim elsewhere or move
+    per-query detail to BENCH_LOCAL.json only."""
+    import json
+
+    import bench
+
+    compact = {
+        "metric": "headline query wall-clock",
+        "unit": "sec",
+        "queries": {n: 99.99 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "loadavg_1m": [99.99, 99.99],
+        "value": 9999.999,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # 1990 leaves ~10 chars of trailing-noise headroom over the 2000-char
+    # window; the synthetic 99.99-per-query padding is itself ~70 chars
+    # above a realistic sub-10s-per-query line, so real headroom is ~80
+    assert len(line) < 1990, (
+        f"compact bench line is {len(line)} chars — exceeds the driver's "
+        f"2000-char tail capture minus noise headroom"
+    )
