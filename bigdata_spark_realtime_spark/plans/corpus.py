@@ -39,6 +39,31 @@ def emb_double(df: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# User-dim derivations shared by the scalar-fn, join, aggregation and
+# serving suites (`app/dwd_DauApp.scala:128-145`). The star schema has
+# no birthday/gender columns; both are derived deterministically from
+# c_custkey so the two engines agree. They live HERE (not in
+# plans/scalar_fns.py, where the f4/j1 queries use them) so that a
+# refresh-rotation head containing joins/serving/aggregations never
+# drags scalar_fns' seven registrations into the gate window.
+# ---------------------------------------------------------------------------
+
+BIRTHDAY_SQL = "DATE '1970-01-01' + CAST(c_custkey * 37 % 15000 AS INT)"
+AGE_REF_DATE = "2024-06-15"
+GENDER_SQL = "CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END"
+
+
+def birthday_col() -> F.Column:
+    return F.date_add(
+        F.to_date(F.lit("1970-01-01")), (F.col("c_custkey") * 37 % 15000).cast("int")
+    )
+
+
+def gender_col() -> F.Column:
+    return F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M")
+
+
 #: most-recently persisted intermediates, per owning query (round-7
 #: ADVICE: plan-builder persists were never released, so every
 #: re-invocation — bench passes, oracle mirrors — left a dead cache

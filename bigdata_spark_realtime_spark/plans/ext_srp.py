@@ -13,7 +13,7 @@ Scale design (100 TB):
 - signatures are one `mapInPandas` pass — per Arrow batch a single
   int64 matrix product Q @ W.T (192 hyperplanes), no shuffle;
 - candidates come from the same skew-guarded bucket-local pair
-  generation as the MinHash/SimHash paths (`ext_dedup._bucket_pairs`):
+  generation as the MinHash/SimHash paths (`operators/shingling.bucket_pairs`):
   the only shuffle key is the (band, key) bucket, never all-pairs,
   and degenerate buckets fall back to a distributed join;
 - the verify join touches |candidates| pairs only (≈0.02% of pairs for
@@ -35,11 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import hashing as H
-from bigdata_spark_realtime_spark.plans.ext_dedup import (
-    _bucket_pairs,
-    cosine,
-    emb_double,
-)
+from bigdata_spark_realtime_spark.operators.shingling import bucket_pairs as _bucket_pairs
+from bigdata_spark_realtime_spark.plans.corpus import cosine, emb_double
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 

@@ -16,13 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
-from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
-from bigdata_spark_realtime_spark.plans.registry import register
-from bigdata_spark_realtime_spark.plans.scalar_fns import (
+from bigdata_spark_realtime_spark.plans.corpus import (
     AGE_REF_DATE,
     BIRTHDAY_SQL,
+    GENDER_SQL,
     birthday_col,
+    gender_col,
 )
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
+from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -33,8 +35,6 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 # Gender has no source column: derived deterministically from c_custkey.
 # ---------------------------------------------------------------------------
 
-GENDER_SQL = "CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END"
-
 J1_ORACLE = f"""
 SELECT e.event_id, e.user_id, c.c_name AS user_name,
        {GENDER_SQL} AS user_gender,
@@ -42,10 +42,6 @@ SELECT e.event_id, e.user_id, c.c_name AS user_name,
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
-
-
-def gender_col() -> F.Column:
-    return F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M")
 
 
 @register("j1_dim_join_user", oracle=J1_ORACLE)

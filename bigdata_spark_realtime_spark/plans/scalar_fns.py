@@ -11,6 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
+from bigdata_spark_realtime_spark.plans.corpus import (  # noqa: F401 — re-exported
+    AGE_REF_DATE,
+    BIRTHDAY_SQL,
+    birthday_col,
+)
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
@@ -68,11 +73,9 @@ def f3_datetime_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # F4 — calendar-exact age (Period.between semantics,
 # `app/dwd_DauApp.scala:136-141`). The star schema has no birthday column;
-# derive a deterministic one from c_custkey so both engines agree.
+# the deterministic c_custkey derivation lives in plans/corpus.py so the
+# join/agg/serving suites can share it without importing this module.
 # ---------------------------------------------------------------------------
-
-BIRTHDAY_SQL = "DATE '1970-01-01' + CAST(c_custkey * 37 % 15000 AS INT)"
-AGE_REF_DATE = "2024-06-15"
 
 F4_ORACLE = f"""
 SELECT c_custkey,
@@ -80,12 +83,6 @@ SELECT c_custkey,
        {fns.age_years_sql(f'({BIRTHDAY_SQL})', f"DATE '{AGE_REF_DATE}'")} AS user_age
 FROM customer
 """
-
-
-def birthday_col() -> F.Column:
-    return F.date_add(
-        F.to_date(F.lit("1970-01-01")), (F.col("c_custkey") * 37 % 15000).cast("int")
-    )
 
 
 @register("f4_age_derive", oracle=F4_ORACLE)

@@ -16,14 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.functions import scalar as fns
-from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
-from bigdata_spark_realtime_spark.plans.joins import GENDER_SQL, gender_col
-from bigdata_spark_realtime_spark.plans.registry import register
-from bigdata_spark_realtime_spark.plans.scalar_fns import (
+from bigdata_spark_realtime_spark.plans.corpus import (
     AGE_REF_DATE,
     BIRTHDAY_SQL,
+    GENDER_SQL,
     birthday_col,
+    gender_col,
 )
+from bigdata_spark_realtime_spark.plans.hints import broadcast_bounded
+from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
 
 TD = "2024-01-06"

@@ -729,7 +729,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a production deployment maintains (64 ints/doc); the
     per-micro-batch join shuffles only band rows of the batch plus the
     matching buckets. Degenerate buckets need the batch path's skew
-    fallback (plans/ext_dedup._bucket_pairs) — at ingest time a hot
+    fallback (operators/shingling.bucket_pairs) — at ingest time a hot
     bucket inflates a single micro-batch, which back-pressures rather
     than OOMs. Pair dedup across micro-batches is the complete-mode
     aggregation (state = |candidate pairs|, bounded by LSH design)."""
