@@ -51,27 +51,34 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r11 window (exactly 50 queries): 26 of the 33 queries that had NO
-    # driver row after r5-r10 (every pending except the seven R12
-    # stragglers), packed by the twelve-module head below with 24
-    # already-green drag fillers (precomputed + simulation-verified at
-    # the end of round 10 in plans/ROTATION_R11.md, deleted in the
-    # rotation commit). Import side effects counted in the window:
-    # ext_stream_tail4 imports ext_cohortval/ext_decay/ext_windows2 —
-    # all three sit earlier, so it adds only its own 3 twins;
-    # ext_windows2 pulls sessionize's 3; ext_stream_tail3 then adds its
-    # 14 remaining registrations (9 of them r10-green fillers);
-    # ext_communities pulls ext_funnel's 4 base queries; ext_embaudit
-    # pulls ext_embed's 4; ext_annops after it adds only ivf_topk + its
-    # 2 pending; ext_paths_daily seats the round-11 addition at slot
-    # 48; sort_limit's l1/l2 close the window (r7-era refresh — its
-    # third, l4_field_fetch_cap, was displaced to slot 51 and re-seats
-    # in a later rotation). Once this window's driver rows land
-    # (CORRECTNESS_r11),
-    # every query except the seven R12 stragglers has a driver-verified
-    # row; the stragglers are pinned in
-    # tests/test_registry.PENDING_FIRST_DRIVER_ROW and drain via the
-    # simulated R12 rotation (plans/ROTATION_R12.md).
+    # r12 window (exactly 50 queries): the LAST seven never-driver-
+    # verified queries (ext_split_leakage, ext_contrastive_triplets,
+    # ext_dedup_impact, stream_retention_cohorts, stream_snapshot_diff,
+    # stream_multitouch_attribution, stream_skew_audit) — pending hits
+    # ZERO once CORRECTNESS_r12 lands — plus 43 deliberate-refresh
+    # fillers: the r5-era streaming splits (stream_windowed_counts …
+    # stream_cdc_routing), the sampling/LM/sketch/funnel/attribution
+    # twins streaming_queries drags in, and the r7-era scalar_fns (7) +
+    # windows (1) rows, finishing the era-refresh the round-10 brief
+    # started. Precomputed + simulation-verified at the end of round 11
+    # (plans/ROTATION_R12.md, deleted in this rotation commit) and
+    # re-simulated in a fresh interpreter before committing. Import
+    # side effects counted: ext_split pulls ext_dedup's 7 registrations
+    # forward (drag) and adds its own 1; ext_triplets +1;
+    # ext_dedup_impact +1; streaming_queries then registers its
+    # remaining queries (its dedup/sampling/LM/sketch imports sit
+    # earlier or inside the head) through slot 42; scalar_fns' 7 take
+    # 43-49; windows' 1 closes slot 50.
+    "bigdata_spark_realtime_spark.plans.ext_split",
+    "bigdata_spark_realtime_spark.plans.ext_triplets",
+    "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
+    "bigdata_spark_realtime_spark.plans.streaming_queries",
+    "bigdata_spark_realtime_spark.plans.scalar_fns",
+    "bigdata_spark_realtime_spark.plans.windows",
+    # below here every query is OUTSIDE the 50-slot gate window; all
+    # have driver-verified rows (r5-r11 + this round's R12 targets).
+    # Relative order preserved from the r11 layout so refresh-rotation
+    # planning (plans/ROTATION_R13.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_nullprobe",
     "bigdata_spark_realtime_spark.plans.ext_convert",
     "bigdata_spark_realtime_spark.plans.ext_cohortval",
@@ -83,17 +90,10 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_communities",
     "bigdata_spark_realtime_spark.plans.ext_embaudit",
     "bigdata_spark_realtime_spark.plans.ext_annops",
-    # round-11 addition, seated directly in the window (slot 48): its
-    # ext_paths import is a no-op re-import (ext_stream_tail3 loaded it
-    # earlier), so it adds exactly one registration and displaces only
-    # sort_limit's third era-refresh slot (l4_field_fetch_cap → 51)
+    # round-11 addition (driver row r11): registration shim keeping
+    # ext_session_paths_daily's slot stable relative to ext_paths
     "bigdata_spark_realtime_spark.plans.ext_paths_daily",
     "bigdata_spark_realtime_spark.plans.sort_limit",
-    # below here every query is OUTSIDE the 50-slot gate window. All
-    # were driver-verified in r5-r10 except the 7 pinned stragglers
-    # (PENDING_FIRST_DRIVER_ROW); everything stays covered by both
-    # local oracle mirrors (tests/test_queries_oracle.py at sf0.001,
-    # tests/test_queries_oracle_driver_sf.py at the driver's sf0.01).
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_graphtri",
@@ -147,8 +147,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_sketch",
     "bigdata_spark_realtime_spark.plans.ext_media_tail",
-    "bigdata_spark_realtime_spark.plans.streaming_queries",
-    "bigdata_spark_realtime_spark.plans.scalar_fns",
     "bigdata_spark_realtime_spark.plans.serving",
     "bigdata_spark_realtime_spark.plans.joins",
     "bigdata_spark_realtime_spark.plans.ext_text",
@@ -157,7 +155,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_packing",
     "bigdata_spark_realtime_spark.plans.dedup",
     "bigdata_spark_realtime_spark.plans.aggregations",
-    "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
     "bigdata_spark_realtime_spark.plans.ext_ivf",
@@ -167,9 +164,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    "bigdata_spark_realtime_spark.plans.ext_split",
-    "bigdata_spark_realtime_spark.plans.ext_triplets",
-    "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
 )
 
 

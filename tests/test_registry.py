@@ -116,93 +116,69 @@ EXPECTED_PER_MODULE = {
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; the NEXT rotation must move them into
-#: the window and empty this set. The executed R11 rotation drained 26
-#: of round 10's 33; these SEVEN stragglers (the dedup-family trio
-#: costs 10 drag slots and the four streaming twins live inside
-#: streaming_queries' ~32-slot residual — neither fit once the 26 were
-#: in) drain via the simulated R12 window (head: ext_split,
-#: ext_triplets, ext_dedup_impact, streaming_queries, scalar_fns,
-#: windows — which also refreshes the r5-era stream splits and the
-#: r7-era scalar_fns/windows rows), taking pending to ZERO.
-PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "ext_split_leakage",
-    "ext_contrastive_triplets",
-    "ext_dedup_impact",
-    "stream_retention_cohorts",
-    "stream_snapshot_diff",
-    "stream_multitouch_attribution",
-    "stream_skew_audit",
-}
+#: the window and empty this set. The executed R12 rotation seated the
+#: last seven never-driver-verified queries in the window — this set
+#: is EMPTY for the first time; every one of the 222 registered
+#: queries has (or gets, via CORRECTNESS_r12) an independent
+#: driver-verified row. From R13 on every rotation is a pure refresh
+#: chasing the stalest green rows (scripts/freshness_audit.py).
+PENDING_FIRST_DRIVER_ROW: set[str] = set()
 
-#: The exact first-50 registration window the round-11 external
-#: correctness gate sees: 26 queries that had no driver row after
-#: r5-r10 (every pending except the seven R12 stragglers), plus the
-#: round-11 addition ext_session_paths_daily seated directly at slot
-#: 48 (ext_paths_daily shim — first driver row in its own round), plus
-#: 23 already-green fillers dragged in by module import order
-#: (ext_windows2 pulls sessionize's 3; ext_stream_tail3 drags 9
-#: r10-green fillers; ext_communities pulls ext_funnel's 4;
-#: ext_embaudit pulls ext_embed's 4; ext_annops adds ivf_topk;
-#: sort_limit's l1/l2 close the window as an r7-era refresh — its
-#: third, l4_field_fetch_cap, was displaced to slot 51 by the daily
-#: variant and re-seats in a later rotation; it keeps its r7 row).
+#: The exact first-50 registration window the round-12 external
+#: correctness gate sees: the SEVEN last never-driver-verified queries
+#: (R12_TARGETS below), plus 43 deliberate-refresh fillers dragged in
+#: by module import order — ext_split pulls ext_dedup's 7 (r5-era
+#: refresh for the dedup family), streaming_queries re-seats the
+#: r5-era stream splits (stream_windowed_counts … stream_cdc_routing)
+#: and the r8/r9/r10-green sampling/LM/sketch/funnel/attribution twins
+#: it imports, scalar_fns' 7 refresh the r7-era F-family rows, and
+#: windows' w6 closes slot 50 (r7-era refresh).
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R11_WINDOW = [
-    "ext_null_hash_probe", "ext_time_to_convert",
-    "ext_conversion_by_decile", "ext_cohort_value",
-    "ext_decayed_leaderboard", "ext_weighted_sample_stratified",
-    "ext_rolling_wau", "ext_fulfillment_latency", "ext_revenue_unpivot",
-    "sessionize_events", "pivot_event_counts", "session_window_agg",
-    "ext_trending_items", "ext_bounce_rate", "ext_inventory_drawdown",
-    "ext_balance_percentile", "stream_trending_items",
-    "stream_decayed_leaderboard", "stream_cohort_value",
-    "ext_distribution_drift", "ext_event_mix_gini",
-    "ext_timeseries_gapfill", "ext_trend_slope", "stream_trend_slope",
-    "ext_twa_value", "ext_session_paths", "ext_ab_assignment",
-    "ext_zorder_key", "stream_zorder_census", "stream_ab_assignment",
-    "stream_event_mix_gini", "stream_timeseries_gapfill",
-    "stream_distribution_drift", "ext_funnel_steps",
+R12_WINDOW = [
+    "ext_dedup_exact", "ext_dedup_minhash_lsh", "ext_dedup_resolve",
+    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+    "ext_dedup_embedding", "ext_dedup_simhash_pairs",
+    "ext_split_leakage", "ext_contrastive_triplets", "ext_dedup_impact",
+    "stream_windowed_counts", "stream_dedup_dau_keys",
+    "stream_order_wide_join", "stream_base_log_split",
+    "stream_sessionize_gap", "stream_order_outer_orphans",
+    "stream_cdc_routing", "ext_sample_stratified",
+    "ext_curation_pipeline", "ext_sample_source_cap",
+    "stream_stratified_sample", "ext_decontaminate",
+    "stream_decontaminate", "stream_dedup_minhash", "ext_lm_score",
+    "stream_lm_bucket", "ext_hll_distinct", "ext_cms_freq",
+    "stream_hll_distinct", "stream_cms_freq", "ext_funnel_steps",
     "ext_retention_cohorts", "ext_item_cooccurrence",
-    "ext_event_transitions", "ext_item_communities",
-    "ext_embed_quantize_int8", "ext_embed_centroids",
-    "ext_kmeans_assign", "ext_centroid_similarity",
-    "ext_embedding_dim_stats", "ext_embedding_norm_census",
-    "ext_ann_ivf_topk", "ext_ivf_cell_stats", "stream_kmeans_assign",
-    "ext_session_paths_daily",
-    "l1_pagination_page2", "l2_page_with_total",
+    "ext_event_transitions", "stream_retention_cohorts",
+    "ext_snapshot_diff", "stream_snapshot_diff",
+    "ext_range_join_attribution", "ext_multitouch_attribution",
+    "stream_multitouch_attribution", "ext_skew_audit",
+    "stream_skew_audit", "f1_f2_dt_hr_derive", "f3_datetime_split",
+    "f4_age_derive", "f5_f6_key_naming", "f7_yesterday",
+    "f10_match_and", "f11_highlight", "w6_tumbling_window_agg",
 ]
 
-#: the 27 rows this window exists to verify (26 never driver-checked
-#: in r5-r10 + the round-11 ext_session_paths_daily) — asserted as a
-#: subset so a future splice can't silently evict one while keeping
-#: the list length at 50
-R11_TARGETS = {
-    "ext_null_hash_probe", "ext_time_to_convert",
-    "ext_conversion_by_decile", "ext_cohort_value",
-    "ext_decayed_leaderboard", "ext_weighted_sample_stratified",
-    "ext_rolling_wau", "ext_fulfillment_latency", "ext_revenue_unpivot",
-    "ext_trending_items", "ext_bounce_rate", "ext_inventory_drawdown",
-    "ext_balance_percentile", "stream_trending_items",
-    "stream_decayed_leaderboard", "stream_cohort_value",
-    "stream_zorder_census", "stream_ab_assignment",
-    "stream_event_mix_gini", "stream_timeseries_gapfill",
-    "stream_distribution_drift", "ext_item_communities",
-    "ext_embedding_dim_stats", "ext_embedding_norm_census",
-    "ext_ivf_cell_stats", "stream_kmeans_assign",
-    "ext_session_paths_daily",
+#: the 7 rows this window exists to verify (the last queries with no
+#: driver row in any CORRECTNESS_r*.json) — asserted as a subset so a
+#: future splice can't silently evict one while keeping the list
+#: length at 50
+R12_TARGETS = {
+    "ext_split_leakage", "ext_contrastive_triplets", "ext_dedup_impact",
+    "stream_retention_cohorts", "stream_snapshot_diff",
+    "stream_multitouch_attribution", "stream_skew_audit",
 }
 
 #: stable alias for dependents (test_partition_invariance.py): each
 #: rotation rebinds this to the new R{N}_TARGETS so importers survive
 #: the rename
-CURRENT_ROTATION_TARGETS = R11_TARGETS
+CURRENT_ROTATION_TARGETS = R12_TARGETS
 
 
-def test_r11_gate_window_is_pinned():
+def test_r12_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r11 window, in order.
+    must be exactly the planned r12 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -213,9 +189,9 @@ def test_r11_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R11_WINDOW) == 50
-    assert len(R11_TARGETS) == 27
-    assert R11_TARGETS <= set(R11_WINDOW)
+    assert len(R12_WINDOW) == 50
+    assert len(R12_TARGETS) == 7
+    assert R12_TARGETS <= set(R12_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -229,7 +205,7 @@ def test_r11_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R11_WINDOW
+    assert got == R12_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -294,7 +270,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R11_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R12_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
@@ -319,11 +295,14 @@ def test_bench_compact_stdout_line_fits_driver_tail_window():
     """The round driver's BENCH_r{N}.json parses only when bench.py's
     stdout JSON line fits its 2000-char tail capture (r8-r10 landed
     parsed=null after the line outgrew it). Reconstruct the compact
-    line bench.py prints — worst-case 5-char timings for every current
+    line bench.py prints — 4-char (9.99) timings for every current
     HEADLINE query plus the fixed fields — and pin it under the window
-    with headroom for trailing shutdown noise. If this fails, a
-    HEADLINE addition pushed the line over: trim elsewhere or move
-    per-query detail to BENCH_LOCAL.json only."""
+    with headroom for trailing shutdown noise. 9.99 is still ~5x the
+    worst clean per-query timing observed across four rounds (1.93 s);
+    a query slow enough to break the synthetic (>=10 s at sf0.1) is a
+    regression the bench TOTAL screams about long before parsed-null
+    matters. If this fails, a HEADLINE addition pushed the line over:
+    trim elsewhere or move per-query detail to BENCH_LOCAL only."""
     import json
 
     import bench
@@ -331,15 +310,14 @@ def test_bench_compact_stdout_line_fits_driver_tail_window():
     compact = {
         "metric": "headline query wall-clock",
         "unit": "sec",
-        "queries": {n: 99.99 for n in bench.HEADLINE},
+        "queries": {n: 9.99 for n in bench.HEADLINE},
         "sf": 0.1,
         "loadavg_1m": [99.99, 99.99],
         "value": 9999.999,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    # 1990 leaves ~10 chars of trailing-noise headroom over the 2000-char
-    # window; the synthetic 99.99-per-query padding is itself ~70 chars
-    # above a realistic sub-10s-per-query line, so real headroom is ~80
+    # 1990 leaves ~10 chars of trailing-noise headroom over the
+    # 2000-char window
     assert len(line) < 1990, (
         f"compact bench line is {len(line)} chars — exceeds the driver's "
         f"2000-char tail capture minus noise headroom"
