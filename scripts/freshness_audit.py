@@ -49,7 +49,64 @@ def main() -> int:
     print(f"{len(stale)} rows older than r{newest - 4} (refresh candidates):")
     for r, n in stale:
         print(f"  r{r} {n}")
+
+    drifted = changed_since_green(repo, registry, latest)
+    print(f"{len(drifted)} changed-since-green (defining module edited "
+          f"AFTER the query's latest green driver row — its green row no "
+          f"longer certifies the current body; seat these in the next "
+          f"refresh window):")
+    for n, (r, f) in sorted(drifted.items()):
+        print(f"  r{r} {n} ({f})")
     return 0
+
+
+def changed_since_green(
+    repo: str, registry, latest: dict[str, int]
+) -> dict[str, tuple[int, str]]:
+    """Queries whose DEFINING plan-module file has git changes after the
+    commit that recorded their latest green driver row (the round-11
+    judge's blind spot: the NULL-sentinel revert changed three query
+    bodies post-row and the audit still called them 'pass r10').
+
+    The anchor commit for round N is the commit that ADDED
+    CORRECTNESS_r{N}.json — the driver verified the tree as of its
+    parent, and those round-snapshot commits touch artifacts only.
+    Scope is the fn's defining module file; a drifted shared helper
+    is caught by that helper's own callers' tests, not here."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=repo, capture_output=True, text=True, check=True
+        ).stdout.strip()
+
+    specs = registry.load_all()
+    anchors: dict[int, str] = {}
+    for rnd in set(latest.values()):
+        out = _git(
+            "log", "--diff-filter=A", "--format=%H", "--",
+            f"CORRECTNESS_r{rnd:02d}.json",
+        )
+        if out:
+            anchors[rnd] = out.splitlines()[-1]  # oldest add
+
+    # group queries by (defining file, green round): one git call per pair
+    import importlib
+
+    by_pair: dict[tuple[str, int], list[str]] = {}
+    for name, rnd in latest.items():
+        if name not in specs or rnd not in anchors:
+            continue
+        mod = importlib.import_module(specs[name].fn.__module__)
+        f = os.path.relpath(mod.__file__, repo)
+        by_pair.setdefault((f, rnd), []).append(name)
+
+    drifted: dict[str, tuple[int, str]] = {}
+    for (f, rnd), qnames in by_pair.items():
+        if _git("log", "--format=%h", f"{anchors[rnd]}..HEAD", "--", f):
+            for n in qnames:
+                drifted[n] = (rnd, f)
+    return drifted
 
 
 if __name__ == "__main__":
