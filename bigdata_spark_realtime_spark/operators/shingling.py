@@ -26,6 +26,17 @@ gate): tokens = split(text, ' ') keeping empty strings exactly like
 Spark's ``F.split`` / DuckDB's ``string_split``; docs with fewer than
 ``w`` tokens produce no shingles (and thus no signature row); SimHash
 consumes every token of every doc, duplicates included.
+
+One deliberate exception to the map-side-only contract above: the
+module also houses :func:`bucket_pairs`, the LSH candidate-pair
+generator shared by the MinHash / SimHash / SRP dedup families. It IS
+shuffle-bearing (a bucket-count window plus either a collect_list
+aggregation or a skew-guarded self-join) — that shuffle is the
+irreducible blocking step of banded LSH, not an avoidable exchange.
+It lives here rather than in a plans module because importing a plans
+module registers gate queries (registration order is a documented
+contract, plans/registry.py) and the pair generator must be importable
+without side effects.
 """
 
 from __future__ import annotations
@@ -479,9 +490,22 @@ def bucket_pairs(bands: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     upstream signature pipeline would be evaluated three times. The
     cached rows are 5 int64s per (doc, band) — at any corpus size this
     is the frame a production LSH job materializes before pair
-    generation anyway. CacheManager keys on the canonical plan, so
-    repeated runs (and sibling queries sharing the candidate subtree)
-    reuse one entry rather than accreting new ones.
+    generation anyway.
+
+    Deliberately a PLAIN persist, not corpus.scoped_persist (round-11
+    advice item, evaluated and rejected on measurement): CacheManager
+    keys on the canonical plan, so re-invocations of the same query
+    reuse ONE entry — accretion is bounded at one entry per distinct
+    (caller, sf_dir, table-mtime) plan, a few MB of int64 rows. Routing
+    the persist through scoped_persist was tried in round 12: eviction
+    clears the plan's single shared CacheManager entry out from under
+    the dedup-family memo (plans/ext_dedup._CAND_MEMO holds the same
+    DataFrame across invocations and never re-persists), forcing full
+    signature-pipeline recomputes — measured 2.2-4.1x on the
+    minhash/resolve/simhash-pairs/SRP bench queries. Lifetime is owned
+    by the callers: the dedup memo FIFO-drops its strong refs and
+    Spark's ContextCleaner reclaims the blocks; everything else dies
+    with the session.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
