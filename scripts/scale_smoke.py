@@ -95,6 +95,14 @@ SMOKE_QUERIES = (
     # round-11 addition: the day-bounded census must scale like its
     # day-bounded transitions sibling (events replica)
     "ext_session_paths_daily",
+    # round-12 window targets (batch side; their stream twins share
+    # bodies with already-smoked batch counterparts): cross-split
+    # SimHash matrix, modular-id triplet mining, and the resolve-audit
+    # histogram — the three shapes whose pair/cluster stages must stay
+    # bucket-bounded as the corpus replicates
+    "ext_split_leakage",
+    "ext_contrastive_triplets",
+    "ext_dedup_impact",
 )
 
 
@@ -351,12 +359,28 @@ def media_smoke(spark, specs) -> None:
             for name in MEDIA_QUERIES:
                 fn = specs[name].fn
                 fn(spark, BASE).write.format("noop").mode("overwrite").save()
-                t0 = time.perf_counter()
-                fn(spark, BASE).write.format("noop").mode("overwrite").save()
-                timings[name] = round(time.perf_counter() - t0, 3)
+                timings[name] = _timed_min(fn, spark, BASE)
             print(json.dumps({"scale": tag, "queries": timings}))
         finally:
             mm.MEDIA_BASE = orig
+
+
+def _timed_min(fn, spark, sf_dir: str, passes: int = 2) -> float:
+    """Min of ``passes`` timed executions (after the caller's warm run).
+
+    Same one-sided-noise argument as bench.py's min-across-passes: a
+    single-shot timing inside a long sequential sweep picks up GC /
+    cache-pressure spikes from the preceding heavy queries — round 12's
+    first 30x sweep read ext_rollup_cascade at 11x and ext_bigram_pmi
+    at 9x, while isolated re-timing showed 1.2x and 2.3x. A spike can
+    only inflate one pass, never deflate another, so the min is the
+    steady-state number."""
+    ts = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
 
 
 def main() -> None:
@@ -377,9 +401,7 @@ def main() -> None:
         for name in SMOKE_QUERIES:
             fn = specs[name].fn
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = _timed_min(fn, spark, sf_dir)
         print(json.dumps({"scale": tag, "queries": timings}))
     media_smoke(spark, specs)
     spark.stop()
