@@ -176,6 +176,17 @@ def main() -> None:
     # a sometimes-failing query is reported under ``flaky`` (previously
     # a pass-1 error nulled the total even when pass 2 was clean).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # settle window between warm-up and the timed passes: the 1-minute
+    # load average at pass start carries the decaying tail of whatever
+    # ran before (warm-up included), and round-12 measured the same
+    # code 10-20% slower when passes started at load ~7 vs ~1.4. Wait
+    # (bounded) for the tail to die so pass 1 starts on a quiet box;
+    # a truly contended host never settles and we proceed after the
+    # cap with the honest load recorded in the artifact.
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_S", "90"))
+    deadline = time.monotonic() + settle
+    while time.monotonic() < deadline and os.getloadavg()[0] > 2.0:
+        time.sleep(5)
     load_before = os.getloadavg()[0]
     passes: list[dict[str, float]] = []
     fail_counts: dict[str, int] = {}
