@@ -77,10 +77,9 @@ def audit_aggs(rules: dict[str, tuple[str, str]], key: str) -> list:
         aggs.append(
             F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"v_{name}")
         )
-        # honest NULL for "no violations" — NULL-bearing BIGINTs ride
-        # the same hash path the r11 slot-1 ext_null_hash_probe proves;
-        # if that probe row FAILs the gate, this reverts to the -1
-        # sentinel (README "Documented semantics deviations")
+        # honest NULL for "no violations" (NULL-bearing BIGINT hash
+        # path driver-proven: r11 ext_null_hash_probe, r13
+        # ext_contract_audit / stream_contract_audit themselves)
         aggs.append(
             F.min(F.when(bad, F.col(key))).cast("bigint").alias(f"k_{name}")
         )

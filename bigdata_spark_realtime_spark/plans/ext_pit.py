@@ -97,9 +97,8 @@ def ext_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "order_us",
         "state_at_order",
-        # honest NULL for "no interval covers the order" — the r11
-        # slot-1 ext_null_hash_probe carries the same NULL-bearing
-        # BIGINT shape through the gate; if its row FAILs, this reverts
-        # to the -1 sentinel (README "Documented semantics deviations")
+        # honest NULL for "no interval covers the order" (NULL-bearing
+        # BIGINT hash path driver-proven: r11 ext_null_hash_probe, r13
+        # ext_pit_scd2_join itself)
         F.col("state_since_us").cast("long").alias("state_since_us"),
     )

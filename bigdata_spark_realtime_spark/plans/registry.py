@@ -51,34 +51,42 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r12 window (exactly 50 queries): the LAST seven never-driver-
-    # verified queries (ext_split_leakage, ext_contrastive_triplets,
-    # ext_dedup_impact, stream_retention_cohorts, stream_snapshot_diff,
-    # stream_multitouch_attribution, stream_skew_audit) — pending hits
-    # ZERO once CORRECTNESS_r12 lands — plus 43 deliberate-refresh
-    # fillers: the r5-era streaming splits (stream_windowed_counts …
-    # stream_cdc_routing), the sampling/LM/sketch/funnel/attribution
-    # twins streaming_queries drags in, and the r7-era scalar_fns (7) +
-    # windows (1) rows, finishing the era-refresh the round-10 brief
-    # started. Precomputed + simulation-verified at the end of round 11
-    # (plans/ROTATION_R12.md, deleted in this rotation commit) and
-    # re-simulated in a fresh interpreter before committing. Import
-    # side effects counted: ext_split pulls ext_dedup's 7 registrations
-    # forward (drag) and adds its own 1; ext_triplets +1;
-    # ext_dedup_impact +1; streaming_queries then registers its
-    # remaining queries (its dedup/sampling/LM/sketch imports sit
-    # earlier or inside the head) through slot 42; scalar_fns' 7 take
-    # 43-49; windows' 1 closes slot 50.
+    # r13 window (exactly 50 queries): a pure refresh rotation — the
+    # first since PENDING_FIRST_DRIVER_ROW hit zero in r12. Leads with
+    # the three post-NULL-revert queries that changed bodies after
+    # their r10 green rows (ext_pit_scd2_join, ext_contract_audit,
+    # stream_contract_audit — commit 736a7e6; round-11 judge "What's
+    # wrong #1"), then re-seats the stalest-era rows: r5 transforms
+    # t-family + tpch q2/q12/q21, and the r7 tpch rest / joins /
+    # aggregations / sort_limit / serving. Precomputed + simulation-
+    # verified at the end of round 12 (plans/ROTATION_R13.md, deleted
+    # in this rotation commit) and re-simulated in a fresh interpreter
+    # before committing. Import side effects counted: ext_pit's
+    # module-level `from ...ext_scd2 import ...` drags
+    # ext_scd2_intervals to slot 1 (an r10 refresh from the same
+    # family), then pit/contract take 2-4 (ext_contract's
+    # streaming_queries import is function-level — no drag), transforms
+    # 5-10, tpch 11-32, joins 33-38, aggregations 39-44, sort_limit
+    # 45-47, serving 48-50 (serving_detail_by_item lands at slot 51 —
+    # keeps its r7 row, re-seats in R14).
+    "bigdata_spark_realtime_spark.plans.ext_pit",
+    "bigdata_spark_realtime_spark.plans.ext_contract",
+    "bigdata_spark_realtime_spark.plans.transforms",
+    "bigdata_spark_realtime_spark.plans.tpch",
+    "bigdata_spark_realtime_spark.plans.joins",
+    "bigdata_spark_realtime_spark.plans.aggregations",
+    "bigdata_spark_realtime_spark.plans.sort_limit",
+    "bigdata_spark_realtime_spark.plans.serving",
+    # below here every query is OUTSIDE the 50-slot gate window; all
+    # have driver-verified rows (r5-r12).
+    # Relative order preserved from the r12 layout so refresh-rotation
+    # planning (plans/ROTATION_R14.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
     "bigdata_spark_realtime_spark.plans.streaming_queries",
     "bigdata_spark_realtime_spark.plans.scalar_fns",
     "bigdata_spark_realtime_spark.plans.windows",
-    # below here every query is OUTSIDE the 50-slot gate window; all
-    # have driver-verified rows (r5-r11 + this round's R12 targets).
-    # Relative order preserved from the r11 layout so refresh-rotation
-    # planning (plans/ROTATION_R13.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_nullprobe",
     "bigdata_spark_realtime_spark.plans.ext_convert",
     "bigdata_spark_realtime_spark.plans.ext_cohortval",
@@ -93,7 +101,6 @@ _PLAN_MODULES = (
     # round-11 addition (driver row r11): registration shim keeping
     # ext_session_paths_daily's slot stable relative to ext_paths
     "bigdata_spark_realtime_spark.plans.ext_paths_daily",
-    "bigdata_spark_realtime_spark.plans.sort_limit",
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_graphtri",
@@ -105,11 +112,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_stream_tail2",
     "bigdata_spark_realtime_spark.plans.ext_skewcheck",
     "bigdata_spark_realtime_spark.plans.ext_scd2",
-    "bigdata_spark_realtime_spark.plans.ext_pit",
     "bigdata_spark_realtime_spark.plans.ext_anomaly",
     "bigdata_spark_realtime_spark.plans.ext_setjoin",
     "bigdata_spark_realtime_spark.plans.ext_binning",
-    "bigdata_spark_realtime_spark.plans.ext_contract",
     "bigdata_spark_realtime_spark.plans.ext_sampling_tail",
     "bigdata_spark_realtime_spark.plans.ext_timeseries",
     "bigdata_spark_realtime_spark.plans.ext_timeseries2",
@@ -131,7 +136,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_rollup",
     "bigdata_spark_realtime_spark.plans.ext_sketch_tail",
     "bigdata_spark_realtime_spark.plans.ext_funnel",
-    "bigdata_spark_realtime_spark.plans.tpch",
     "bigdata_spark_realtime_spark.plans.ext_quality",
     "bigdata_spark_realtime_spark.plans.ext_semantic",
     "bigdata_spark_realtime_spark.plans.ext_mixture",
@@ -147,19 +151,15 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_sketch",
     "bigdata_spark_realtime_spark.plans.ext_media_tail",
-    "bigdata_spark_realtime_spark.plans.serving",
-    "bigdata_spark_realtime_spark.plans.joins",
     "bigdata_spark_realtime_spark.plans.ext_text",
     "bigdata_spark_realtime_spark.plans.ext_multimodal",
     "bigdata_spark_realtime_spark.plans.ext_asof",
     "bigdata_spark_realtime_spark.plans.ext_packing",
     "bigdata_spark_realtime_spark.plans.dedup",
-    "bigdata_spark_realtime_spark.plans.aggregations",
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
     "bigdata_spark_realtime_spark.plans.ext_ivf",
     "bigdata_spark_realtime_spark.plans.ext_dedup",
-    "bigdata_spark_realtime_spark.plans.transforms",
     "bigdata_spark_realtime_spark.plans.ext_sampling",
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",

@@ -124,61 +124,59 @@ EXPECTED_PER_MODULE = {
 #: chasing the stalest green rows (scripts/freshness_audit.py).
 PENDING_FIRST_DRIVER_ROW: set[str] = set()
 
-#: The exact first-50 registration window the round-12 external
-#: correctness gate sees: the SEVEN last never-driver-verified queries
-#: (R12_TARGETS below), plus 43 deliberate-refresh fillers dragged in
-#: by module import order — ext_split pulls ext_dedup's 7 (r5-era
-#: refresh for the dedup family), streaming_queries re-seats the
-#: r5-era stream splits (stream_windowed_counts … stream_cdc_routing)
-#: and the r8/r9/r10-green sampling/LM/sketch/funnel/attribution twins
-#: it imports, scalar_fns' 7 refresh the r7-era F-family rows, and
-#: windows' w6 closes slot 50 (r7-era refresh).
+#: The exact first-50 registration window the round-13 external
+#: correctness gate sees: the first pure-refresh rotation (pending hit
+#: zero in r12). The three post-NULL-revert queries (R13_TARGETS below)
+#: get their first post-revert driver rows at slots 2-4 — ext_pit's
+#: module-level ext_scd2 import drags ext_scd2_intervals to slot 1 (an
+#: r10 refresh from the same family) — then the stalest-era rows
+#: re-seat: r5 transforms t-family (slots 5-10), tpch (11-32, including
+#: the r5-era q2/q12/q21), joins (33-38), aggregations (39-44),
+#: sort_limit (45-47, seating l4_field_fetch_cap displaced from the R11
+#: window), serving (48-50; serving_detail_by_item lands at slot 51 and
+#: re-seats in R14).
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R12_WINDOW = [
-    "ext_dedup_exact", "ext_dedup_minhash_lsh", "ext_dedup_resolve",
-    "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
-    "ext_dedup_embedding", "ext_dedup_simhash_pairs",
-    "ext_split_leakage", "ext_contrastive_triplets", "ext_dedup_impact",
-    "stream_windowed_counts", "stream_dedup_dau_keys",
-    "stream_order_wide_join", "stream_base_log_split",
-    "stream_sessionize_gap", "stream_order_outer_orphans",
-    "stream_cdc_routing", "ext_sample_stratified",
-    "ext_curation_pipeline", "ext_sample_source_cap",
-    "stream_stratified_sample", "ext_decontaminate",
-    "stream_decontaminate", "stream_dedup_minhash", "ext_lm_score",
-    "stream_lm_bucket", "ext_hll_distinct", "ext_cms_freq",
-    "stream_hll_distinct", "stream_cms_freq", "ext_funnel_steps",
-    "ext_retention_cohorts", "ext_item_cooccurrence",
-    "ext_event_transitions", "stream_retention_cohorts",
-    "ext_snapshot_diff", "stream_snapshot_diff",
-    "ext_range_join_attribution", "ext_multitouch_attribution",
-    "stream_multitouch_attribution", "ext_skew_audit",
-    "stream_skew_audit", "f1_f2_dt_hr_derive", "f3_datetime_split",
-    "f4_age_derive", "f5_f6_key_naming", "f7_yesterday",
-    "f10_match_and", "f11_highlight", "w6_tumbling_window_agg",
+R13_WINDOW = [
+    "ext_scd2_intervals", "ext_pit_scd2_join", "ext_contract_audit",
+    "stream_contract_audit", "t1_json_extract", "t4_error_route",
+    "t6_multiplex_split", "t7_explode_tokens", "t8_cdc_op_normalize",
+    "t9_table_routing", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q10_returned_items", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
+    "q18_large_volume_customer", "q4_priority_exists",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q22_sales_opportunity", "q20_dominant_supplier",
+    "q11_important_value_share", "q12_late_shipment_priority",
+    "q21_waiting_supplier", "q2_min_cost_supplier", "j1_dim_join_user",
+    "j2_dim_join_geo", "j4_order_wide_join", "j6_semi_join_routing",
+    "j7_exists_semi_join", "j8_anti_join", "a1_count_total",
+    "a2_hourly_counts_topk", "a3_day_over_day", "a4_stats_by_item_top100",
+    "a5_age_rebucket", "a6_gender_relabel", "l1_pagination_page2",
+    "l2_page_with_total", "l4_field_fetch_cap", "serving_dau_realtime",
+    "serving_stats_by_item_age", "serving_stats_by_item_gender",
 ]
 
-#: the 7 rows this window exists to verify (the last queries with no
-#: driver row in any CORRECTNESS_r*.json) — asserted as a subset so a
-#: future splice can't silently evict one while keeping the list
-#: length at 50
-R12_TARGETS = {
-    "ext_split_leakage", "ext_contrastive_triplets", "ext_dedup_impact",
-    "stream_retention_cohorts", "stream_snapshot_diff",
-    "stream_multitouch_attribution", "stream_skew_audit",
+#: the 3 rows this window exists to verify (bodies changed AFTER their
+#: r10 green rows — the 736a7e6 NULL revert; round-11 judge "What's
+#: wrong #1") — asserted as a subset so a future splice can't silently
+#: evict one while keeping the list length at 50
+R13_TARGETS = {
+    "ext_pit_scd2_join", "ext_contract_audit", "stream_contract_audit",
 }
 
 #: stable alias for dependents (test_partition_invariance.py): each
 #: rotation rebinds this to the new R{N}_TARGETS so importers survive
 #: the rename
-CURRENT_ROTATION_TARGETS = R12_TARGETS
+CURRENT_ROTATION_TARGETS = R13_TARGETS
 
 
-def test_r12_gate_window_is_pinned():
+def test_r13_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r12 window, in order.
+    must be exactly the planned r13 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -189,9 +187,9 @@ def test_r12_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R12_WINDOW) == 50
-    assert len(R12_TARGETS) == 7
-    assert R12_TARGETS <= set(R12_WINDOW)
+    assert len(R13_WINDOW) == 50
+    assert len(R13_TARGETS) == 3
+    assert R13_TARGETS <= set(R13_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -205,7 +203,7 @@ def test_r12_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R12_WINDOW
+    assert got == R13_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -270,7 +268,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R12_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R13_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
