@@ -101,9 +101,18 @@ def changed_since_green(
         f = os.path.relpath(mod.__file__, repo)
         by_pair.setdefault((f, rnd), []).append(name)
 
+    # uncommitted working-tree/staged edits drift too (round-12
+    # advisor: committed history alone under-reports exactly when the
+    # audit runs mid-round, before the edit is committed)
+    dirty = {
+        ln[3:].strip()
+        for ln in _git("status", "--porcelain").splitlines()
+        if ln.strip()
+    }
+
     drifted: dict[str, tuple[int, str]] = {}
     for (f, rnd), qnames in by_pair.items():
-        if _git("log", "--format=%h", f"{anchors[rnd]}..HEAD", "--", f):
+        if f in dirty or _git("log", "--format=%h", f"{anchors[rnd]}..HEAD", "--", f):
             for n in qnames:
                 drifted[n] = (rnd, f)
     return drifted
