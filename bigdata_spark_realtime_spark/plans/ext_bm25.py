@@ -135,7 +135,9 @@ def bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tf, "token")
         .join(df, "token")
         .join(dl, "doc_id")
-        .crossJoin(c)
+        # 1-row corpus-stats frame: broadcast-hinted like every sibling
+        # scalar crossJoin (cf. ext_dsir/ext_annops)
+        .crossJoin(F.broadcast(c))
         .select(
             "query_id",
             "doc_id",

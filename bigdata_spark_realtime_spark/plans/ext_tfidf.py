@@ -83,7 +83,9 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")
-        .crossJoin(n)
+        # 1-row count frame: Spark plans BNLJ anyway, but hint it like
+        # every sibling scalar crossJoin so a refactor can't regress it
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",

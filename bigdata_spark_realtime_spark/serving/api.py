@@ -59,12 +59,19 @@ class ServingAPI:
         else:
             # the reference NPEs on a bad t; we return a client error
             raise ValueError(f"unsupported t={t!r}: expected 'age' or 'gender'")
+        # ES terms aggs order buckets by doc count desc
+        # (`ia/PublisherMapperImpl.java:79`); the gated a4 plan
+        # (plans/aggregations.py) does the same — keep the REST layer
+        # bit-faithful to both, not amount-desc
         base = (
             self.order_wide.where(F.col("create_date") == date)
             .where(fns.match_all_tokens(F.col("sku_name"), item_name))
             .groupBy(field.alias("k"))
-            .agg(F.sum("split_total_amount").alias("amount"))
-            .orderBy(F.desc("amount"), "k")
+            .agg(
+                F.sum("split_total_amount").alias("amount"),
+                F.count(F.lit(1)).alias("ct"),
+            )
+            .orderBy(F.desc("ct"), "k")
             .limit(100)
         )
         if t == "gender":
