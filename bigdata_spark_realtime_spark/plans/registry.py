@@ -164,6 +164,10 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_srp",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
+    # round-13 additions (PENDING_FIRST_DRIVER_ROW; R14 window): the
+    # multimodal/packing streaming intake twins — registered LAST so
+    # the pinned R13 window is untouched (splice rule)
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail5",
 )
 
 

@@ -111,18 +111,19 @@ EXPECTED_PER_MODULE = {
     "ext_vocab": 2,
     "streaming_queries": 17,
     "ext_nullprobe": 1,
+    "ext_stream_tail5": 2,
 }
 
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; the NEXT rotation must move them into
-#: the window and empty this set. The executed R12 rotation seated the
-#: last seven never-driver-verified queries in the window — this set
-#: is EMPTY for the first time; every one of the 222 registered
-#: queries has (or gets, via CORRECTNESS_r12) an independent
-#: driver-verified row. From R13 on every rotation is a pure refresh
-#: chasing the stalest green rows (scripts/freshness_audit.py).
-PENDING_FIRST_DRIVER_ROW: set[str] = set()
+#: the window and empty this set. The round-13 surface growth (two
+#: streaming intake twins, ext_stream_tail5, registered at the very
+#: end of the module walk) seats in the R14 refresh window.
+PENDING_FIRST_DRIVER_ROW: set[str] = {
+    "stream_scene_cuts",
+    "stream_pack_shards",
+}
 
 #: The exact first-50 registration window the round-13 external
 #: correctness gate sees: the first pure-refresh rotation (pending hit
