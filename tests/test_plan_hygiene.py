@@ -690,3 +690,19 @@ def test_scalar_crossjoins_are_broadcast_hinted(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_stream_twin_drained_plans_partition_not_globally_sort(spark, sf_dir):
+    """The r13 intake twins' post-drain analytics must stay keyed:
+    pack_shards windows per shard, scene_cuts lags per media_id — a
+    single hash exchange each, never a global sort (the textbook
+    mistake both batch originals were designed around)."""
+    for name, key in (
+        ("stream_pack_shards", "shard"),
+        ("stream_scene_cuts", "media_id"),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert not re.search(r"\bSort \[.*\], true", plan), name
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, (name, exchanges)
+        assert f"hashpartitioning({key}" in plan, name
