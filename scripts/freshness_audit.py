@@ -103,12 +103,12 @@ def changed_since_green(
 
     # uncommitted working-tree/staged edits drift too (round-12
     # advisor: committed history alone under-reports exactly when the
-    # audit runs mid-round, before the edit is committed)
-    dirty = {
-        ln[3:].strip()
-        for ln in _git("status", "--porcelain").splitlines()
-        if ln.strip()
-    }
+    # audit runs mid-round, before the edit is committed); staged
+    # renames list "R  old -> new" — both sides count as dirty
+    dirty: set[str] = set()
+    for ln in _git("status", "--porcelain").splitlines():
+        if ln.strip():
+            dirty.update(p.strip() for p in ln[3:].split(" -> "))
 
     drifted: dict[str, tuple[int, str]] = {}
     for (f, rnd), qnames in by_pair.items():

@@ -70,3 +70,45 @@ def test_headline_names_are_registered():
     # the REST serving surface must keep a tracked latency (round-6 task)
     assert "serving_detail_by_item" in HEADLINE
     assert "a2_hourly_counts_topk" in HEADLINE
+
+
+# ---------------------------------------------------------------------------
+# build_compact_line degradation cascade (round-13): for ANY payload the
+# stdout line must stay parseable and within the driver's tail window
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_names = st.text(alphabet="abcdefghij_", min_size=3, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    timings=st.dictionaries(_names, st.floats(0.0, 9999.0), max_size=200),
+    errs=st.dictionaries(_names, st.text(max_size=400), max_size=20),
+    value=st.one_of(st.none(), st.floats(0.0, 99999.0)),
+)
+def test_compact_line_always_fits_and_parses(timings, errs, value):
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "headline query wall-clock",
+        "unit": "sec",
+        "sf": 0.1,
+        "loadavg_1m": [1.0, 2.0],
+        "value": value,
+    }
+    if errs:
+        payload["errors"] = errs
+        payload["partial_sum_sec"] = 1.0
+    line = bench.build_compact_line(payload, timings)
+    assert len(line) <= bench.COMPACT_LINE_LIMIT
+    parsed = json.loads(line)
+    assert parsed["metric"] == payload["metric"]
+    assert parsed["value"] == (None if value is None else value)
+    # elision is an explicit count, never silent
+    n_shown = len(parsed.get("queries", {}))
+    assert n_shown + parsed.get("queries_elided", 0) == len(timings)
