@@ -22,9 +22,7 @@ the R14 refresh window.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -41,25 +39,16 @@ from bigdata_spark_realtime_spark.plans.ext_packing import (
     PACKING_ORACLE,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
+from bigdata_spark_realtime_spark.sources.replay import file_replay_stream
 
 
 def _media_video_stream(spark: SparkSession) -> DataFrame:
-    """Replay the MJV clip table as a file-source stream (same
-    symlinked-dir device as streaming_queries._docs_stream — the file
-    source needs a directory)."""
-    path = os.path.abspath(
-        os.path.join(ensure_media_fixtures(), "media_video.parquet")
+    """Replay the MJV clip table as a file-source stream
+    (layout-robust: sources/replay.py handles both the single-file
+    fixture layout and a Spark-written directory table)."""
+    return file_replay_stream(
+        spark, os.path.join(ensure_media_fixtures(), "media_video.parquet")
     )
-    schema = spark.read.parquet(path).schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_video_{hashlib.md5(path.encode()).hexdigest()[:12]}",
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "media_video.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    return spark.readStream.schema(schema).parquet(stream_dir)
 
 
 @register("stream_scene_cuts", oracle=SCENE_CUTS_ORACLE)
@@ -129,11 +118,12 @@ def stream_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch operator, with arrival-time shard assignment amortized into
     ingest."""
     from bigdata_spark_realtime_spark.plans.streaming_queries import (
-        _docs_stream,
         _drain_to_memory,
     )
 
-    docs = _docs_stream(spark, sf_dir)
+    docs = file_replay_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
     h = H.h32(F.col("doc_id").cast("string"))
     sharded = _drain_to_memory(
         docs.select(

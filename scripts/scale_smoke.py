@@ -103,6 +103,11 @@ SMOKE_QUERIES = (
     "ext_split_leakage",
     "ext_contrastive_triplets",
     "ext_dedup_impact",
+    # round-13 addition: the packing intake twin must scale exactly like
+    # its batch body (stateless in-stream shard map + per-shard window
+    # on the drained state); scene_cuts' twin reads the fixed media
+    # fixtures, not the replicated corpus, so it has no scale axis here
+    "stream_pack_shards",
 )
 
 

@@ -51,3 +51,25 @@ def test_stream_pack_shards_is_arrival_order_invariant(spark, sf_dir):
     assert _rows(stream_pack_shards(spark, sf_dir)) == _rows(
         stream_pack_shards(spark, sf_dir)
     )
+
+
+def test_file_replay_stream_handles_directory_tables(spark, tmp_path):
+    """The round-13 measured bug class: a Spark-WRITTEN parquet table is
+    a directory of part files, and a symlinked directory is not
+    recursed by the file-stream source — the old replay device came up
+    EMPTY (fast and wrong) on exactly the 100 TB-shaped layout. The
+    layout-robust helper must ingest every row of both layouts."""
+    from bigdata_spark_realtime_spark.plans.streaming_queries import (
+        _drain_to_memory,
+    )
+    from bigdata_spark_realtime_spark.sources.replay import (
+        file_replay_stream,
+    )
+
+    d = str(tmp_path / "dir_table.parquet")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(
+        4
+    ).write.parquet(d)
+    drained = _drain_to_memory(file_replay_stream(spark, d), spark)
+    assert drained.count() == 1000
+    assert drained.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
