@@ -168,6 +168,12 @@ _PLAN_MODULES = (
     # multimodal/packing streaming intake twins — registered LAST so
     # the pinned R13 window is untouched (splice rule)
     "bigdata_spark_realtime_spark.plans.ext_stream_tail5",
+    # round-13 late additions (PENDING_FIRST_DRIVER_ROW; seat in R15 —
+    # the simulated R14 window in plans/ROTATION_R14.md predates them):
+    # approximation-quality audits + the streaming funnel twin, behind
+    # ext_stream_tail5 so the R14 simulation's first-50 is untouched
+    "bigdata_spark_realtime_spark.plans.ext_approx_audit",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail6",
 )
 
 

@@ -108,6 +108,14 @@ SMOKE_QUERIES = (
     # on the drained state); scene_cuts' twin reads the fixed media
     # fixtures, not the replicated corpus, so it has no scale axis here
     "stream_pack_shards",
+    # round-13 late additions: the MinHash calibration audit replays the
+    # whole shingle→sig→band pipeline plus two pair-side joins (its
+    # candidate count grows with the replicated near-dup pairs); the
+    # funnel intake twin must track its already-smoked batch body; the
+    # recall eval's corpus passes are the two ANN kernels
+    "ext_minhash_error_audit",
+    "stream_funnel_steps",
+    "ext_ann_recall_eval",
 )
 
 

@@ -112,17 +112,24 @@ EXPECTED_PER_MODULE = {
     "streaming_queries": 17,
     "ext_nullprobe": 1,
     "ext_stream_tail5": 2,
+    "ext_approx_audit": 2,
+    "ext_stream_tail6": 1,
 }
 
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
-#: these having no driver row; the NEXT rotation must move them into
-#: the window and empty this set. The round-13 surface growth (two
-#: streaming intake twins, ext_stream_tail5, registered at the very
-#: end of the module walk) seats in the R14 refresh window.
+#: these having no driver row; upcoming rotations must move them into
+#: a window and empty this set. The round-13 surface growth (≤5/round
+#: cap, fully used): the two streaming intake twins (ext_stream_tail5)
+#: seat in the simulated R14 refresh window (slots 42-43); the three
+#: late additions (ext_approx_audit + ext_stream_tail6, registered
+#: after the R14 window was simulated and committed) seat in R15.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_scene_cuts",
     "stream_pack_shards",
+    "ext_ann_recall_eval",
+    "ext_minhash_error_audit",
+    "stream_funnel_steps",
 }
 
 #: The exact first-50 registration window the round-13 external
