@@ -161,9 +161,13 @@ def topk_neighbors_broadcast(
 
     import numpy as np
 
+    schema = "query_id long, neighbor_id long, cos_sim double"
+    if len(queries_pdf) == 0:
+        # ZERO queries (empty corpus): np.stack needs ≥1 array — and no
+        # query can have a neighbor anyway (empty-input sweep catch)
+        return emb.sparkSession.createDataFrame([], schema)
     qm = np.stack(queries_pdf["embedding"].to_numpy()).astype("float64")
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    schema = "query_id long, neighbor_id long, cos_sim double"
 
     def score(batches):
         for pdf in batches:

@@ -81,21 +81,62 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping-set levels — per
     cell, per status, per priority, grand total — in one aggregation
     pass. Subtotal rows label their collapsed dimension 'ALL' (source
-    columns are non-null, so the coalesce is unambiguous)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
+    columns are non-null, so the coalesce is unambiguous).
+
+    The ``()`` grouping set is derived by re-aggregating the status-
+    level subtotal rows rather than left to Spark's cube: ANSI gives the
+    empty set exactly one grand-total row even over zero input rows,
+    Spark's expand+hash-agg gives none (DuckDB emits it; empty-input
+    sweep catch). The re-agg runs over ≤#statuses rows — no second
+    corpus pass — and returns its one row unconditionally."""
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    def build_lvl() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        return o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+            F.sum("o_totalprice").alias("amt_raw"),
+            F.grouping_id().alias("gid"),
+        )
+
+    # feeds the output projection AND the grand-total re-agg; subtotal
+    # cardinality (statuses×priorities + statuses + priorities rows).
+    # The total branch is built from a SECOND canonically-identical
+    # plan: a self-union of one frame trips deduplicateRelations and
+    # the re-aliased branch misses the cache, silently recomputing the
+    # corpus aggregation (see rollup_region_nation)
+    lvl = scoped_persist(build_lvl(), "cube_status_priority", keep=1)
+    lvl2 = build_lvl()
+    detail = lvl.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        F.round("amt_raw", 2).alias("total_amount"),
+    )
+    total = (
+        lvl2.where(F.col("gid") == 1)  # status-level rows (priority bit)
+        .agg(
+            F.coalesce(F.sum("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(F.sum("amt_raw"), 2).alias("total_amount"),
         )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("ALL").alias("status"),
+            F.lit("ALL").alias("priority"),
             "n_orders",
             "total_amount",
         )
     )
+    return detail.unionByName(total)
 
 
 PCTL_ORACLE = """

@@ -74,8 +74,12 @@ def audit_aggs(rules: dict[str, tuple[str, str]], key: str) -> list:
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_checked")]
     for name, (spark_pred, _) in rules.items():
         bad = ~F.coalesce(F.expr(spark_pred), F.lit(False))
+        # count(when(bad, 1)) rather than sum(when(bad, 1).otherwise(0)):
+        # identical on every non-empty input, but over ZERO rows sum()
+        # is NULL while the oracle's count(*) FILTER is 0 — the
+        # empty-input sweep caught the drift (scripts/empty_input_sweep)
         aggs.append(
-            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(f"v_{name}")
+            F.count(F.when(bad, F.lit(1))).cast("bigint").alias(f"v_{name}")
         )
         # honest NULL for "no violations" (NULL-bearing BIGINT hash
         # path driver-proven: r11 ext_null_hash_probe, r13

@@ -289,6 +289,17 @@ def assign_best_label(emb: DataFrame, by_label: dict) -> DataFrame:
     ``best`` struct column (dist_q, label) next to the row's own
     ``label``. Works unchanged on batch and streaming frames — the
     centroid literals are plan constants."""
+    if not by_label:
+        # ZERO centroids (empty corpus): F.array() would be VOID-typed
+        # and the transform lambda fails analysis (empty-input sweep).
+        # No centroid -> no assignment: an always-false filter keeps
+        # the schema (and works on streaming frames, unlike limit(0))
+        label_t = emb.schema["label"].dataType
+        best = F.struct(
+            F.lit(None).cast("bigint").alias("dist_q"),
+            F.lit(None).cast(label_t).alias("label"),
+        )
+        return emb.select("label", best.alias("best")).where(F.lit(False))
     cents = F.array(
         *[
             F.struct(

@@ -54,20 +54,68 @@ GROUP BY ROLLUP (region, nation)
 
 @register("rollup_region_nation", oracle=ROLLUP_ORACLE)
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Region→nation rollup: subtotals + grand total in one aggregation
-    pass (grouping-sets expansion, still partial+final hash agg)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    joined = c.join(broadcast_bounded(n), c.c_nationkey == n.n_nationkey).join(
-        broadcast_bounded(r), n.n_regionkey == r.r_regionkey
+    """Region→nation rollup: subtotals + grand total in one corpus
+    aggregation pass (grouping-sets expansion, still partial+final hash
+    agg).
+
+    The ``()`` grouping set is NOT left to Spark's rollup: ANSI says the
+    empty set aggregates like an ungrouped query — exactly one grand-
+    total row even over zero input rows — but Spark's expand+hash-agg
+    emits nothing on empty input (DuckDB emits the row; the empty-input
+    sweep caught the divergence). Instead the grand total is derived by
+    re-aggregating the region-level subtotal rows — a second agg over
+    ~#regions rows, not a second corpus pass — which returns its one
+    row unconditionally."""
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    def build_lvl() -> DataFrame:
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        r = load_table(spark, sf_dir, "region")
+        joined = c.join(
+            broadcast_bounded(n), c.c_nationkey == n.n_nationkey
+        ).join(broadcast_bounded(r), n.n_regionkey == r.r_regionkey)
+        # set exprs and grouping cols must be the SAME names — distinct
+        # Column objects register as extra grouping columns
+        return joined.groupingSets(
+            [["r_name", "n_name"], ["r_name"]], "r_name", "n_name"
+        ).agg(
+            F.sum("c_acctbal").alias("bal_raw"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.grouping_id().alias("gid"),
+        )
+
+    # lvl feeds both the output projection and the grand-total re-agg;
+    # it is subtotal-cardinality (≤ regions×nations + regions rows).
+    # The total branch is built from a SECOND canonically-identical
+    # plan, not from `lvl` itself: a self-union of one frame trips
+    # deduplicateRelations, whose re-aliased second branch no longer
+    # matches the cache and silently recomputes the corpus aggregation
+    # (verified via .explain: one InMemoryTableScan vs two).
+    lvl = scoped_persist(build_lvl(), "rollup_region_nation", keep=1)
+    lvl2 = build_lvl()
+    detail = lvl.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.round("bal_raw", 2).alias("balance"),
+        "n_customers",
     )
-    return joined.rollup(
-        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-    ).agg(
-        F.round(F.sum("c_acctbal"), 2).alias("balance"),
-        F.count(F.lit(1)).alias("n_customers"),
+    total = (
+        lvl2.where(F.col("gid") == 1)  # region-level rows (nation bit set)
+        .agg(
+            F.round(F.sum("bal_raw"), 2).alias("balance"),
+            F.coalesce(F.sum("n_customers"), F.lit(0))
+            .cast("bigint")
+            .alias("n_customers"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("region"),
+            F.lit(None).cast("string").alias("nation"),
+            "balance",
+            "n_customers",
+        )
     )
+    return detail.unionByName(total)
 
 
 #: HLL numerator α·m²·2^S as a shared float64 literal — repr round-trips

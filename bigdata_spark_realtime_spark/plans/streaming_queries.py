@@ -145,7 +145,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     them all; sentinel rows are excluded from the returned frame and
     their own window never finalizes."""
     import hashlib
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -182,6 +182,13 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # build it from the source footer: max(ts)+10y in ts's own type
         src_schema = pq.read_schema(src)
         max_ts = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+        int_vintage = pa.types.is_integer(src_schema.field("ts").type)
+        if max_ts is None:
+            # ZERO-ROW source (empty-input sweep): no real window needs
+            # flushing — any valid sentinel ts works; pin a fixed one
+            max_ts = (
+                0 if int_vintage else datetime(1970, 1, 1, tzinfo=None)
+            )
         if isinstance(max_ts, int):  # raw int64 epoch-nanos vintage
             flush = max_ts + 3650 * 86400 * 1_000_000_000
         else:  # any timestamp unit — pyarrow hands back a datetime

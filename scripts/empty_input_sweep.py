@@ -1,0 +1,132 @@
+"""Full-registry sweep on ZERO-ROW tables: the 100 TB edge nobody tests.
+
+At cluster scale, empty inputs are routine, not exceptional: a filter
+that drains a partition, a date-bounded scan that matches nothing, a
+tenant with no rows yet, a replay window past the high-water mark. An
+operator that crashes on zero rows (``collect()[0]`` on an empty model
+aggregate, an Arrow kernel assuming ≥1 batch, a ratio dividing by a
+zero count) is a real defect class that the sf-scaled sweeps can never
+reach because every sf dir has data.
+
+This sweep materializes a schema-faithful zero-row copy of all ten
+tables (schemas read from sf0.001 via pyarrow, no data dependency) and
+runs EVERY registered query against it — and, where the query is
+oracled, runs the DuckDB oracle on the same empty views and compares
+with the suite's driver-faithful comparator. One line per problem:
+
+    python scripts/empty_input_sweep.py                       # 0 rows
+    SPARK_GRAFT_BOUNDARY_ROWS=1 python scripts/empty_input_sweep.py
+
+`SPARK_GRAFT_BOUNDARY_ROWS=N` keeps the first N rows of each table
+instead of zero — N=1 is the other classic boundary (single-row
+windows, lag with no predecessor, stddev of one sample, percentile
+interpolation with nothing to interpolate, LSH with one document).
+Both engines read the SAME files, so every divergence is an engine
+semantics difference, never a data artifact.
+
+Expected legitimate divergence classes (report-and-adjudicate, not
+auto-fail): none known at time of writing — ungrouped aggregates
+return one all-NULL/0 row in BOTH engines, grouped ones return zero
+rows in both.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCHEMA_SF_DIR = os.environ.get("SPARK_GRAFT_SCHEMA_SF", "/root/testdata/sf0.001")
+BOUNDARY_ROWS = int(os.environ.get("SPARK_GRAFT_BOUNDARY_ROWS", "0"))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def materialize_empty_tables(dest: str, rows: int = 0) -> None:
+    """Write an N-row parquet per table with the exact sf schema
+    (N=0: schema-only empty table; N>0: the first N rows)."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        src = os.path.join(SCHEMA_SF_DIR, f"{t}.parquet")
+        if rows > 0:
+            table = pq.read_table(src).slice(0, rows)
+        else:
+            table = pq.read_schema(src).empty_table()
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from bigdata_spark_realtime_spark.session import get_spark
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+        ),
+    )
+    from oracle_util import assert_matches_oracle
+
+    empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
+    materialize_empty_tables(empty_dir, BOUNDARY_ROWS)
+
+    spark = get_spark(app_name="bsr-empty-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_dir}/{t}.parquet')"
+        )
+    oracles = entry.oracle_sql()
+
+    class _DF:  # minimal .toPandas() shim for the comparator
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def toPandas(self):
+            return self._pdf
+
+    problems = []
+    t0 = time.time()
+    names = entry.queries()
+    for name, fn in names.items():
+        try:
+            got = fn(spark, empty_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            problems.append((name, f"SPARK-ERROR {type(ex).__name__}: {ex}"))
+            continue
+        if name not in oracles:
+            continue
+        try:
+            assert_matches_oracle(_DF(got), con, oracles[name])
+        except AssertionError as ex:
+            problems.append((name, f"MISMATCH {ex}"))
+        except Exception as ex:  # noqa: BLE001
+            problems.append((name, f"ORACLE-ERROR {type(ex).__name__}: {ex}"))
+    print(
+        f"boundary swept {len(names)} queries "
+        f"({len(oracles)} oracled) at {BOUNDARY_ROWS} rows/table "
+        f"in {time.time() - t0:.0f}s"
+    )
+    for name, why in problems:
+        print(f"PROBLEM {name}: {why}")
+    if not problems:
+        print(f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE")
+    spark.stop()
+    shutil.rmtree(empty_dir, ignore_errors=True)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

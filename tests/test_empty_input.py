@@ -1,0 +1,81 @@
+"""Zero-row-input pins: the fast mirror of scripts/empty_input_sweep.
+
+The full sweep runs all 227 queries on schema-faithful zero-row tables
+(~3.5 min); this suite pins the queries the round-13 sweep actually
+caught — one per defect class — plus one representative per fragile
+family (driver-side model collect, Arrow kernel, grouping sets,
+streaming sentinel), each compared against its DuckDB oracle on the
+same empty views. At 100 TB an empty input is routine (a drained
+filter, a tenant with no rows, a replay past the high-water mark), so
+"runs and matches the oracle on zero rows" is a contract, not a
+curiosity.
+
+Defect classes fixed in round 13 (each pinned here):
+- sum(CASE)->NULL vs count(*) FILTER->0 dtype drift
+  (ext_contract_audit / stream_contract_audit)
+- None + timedelta sentinel crash (stream_windowed_counts)
+- VOID-typed F.array() of zero centroid literals (ext/stream
+  kmeans_assign)
+- Spark rollup/cube dropping the ANSI grand-total row on empty input
+  (rollup_region_nation / cube_status_priority)
+- np.stack on a zero-row collected query set (ext_ann_bruteforce_topk
+  / ext_ann_recall_eval)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_spark_realtime_spark.plans import registry
+
+# the round-13 sweep's actual catches + one representative per
+# fragile family that already passed (cheap insurance the guard
+# patterns in those families stay load-bearing)
+EMPTY_PINNED = [
+    "ext_contract_audit",
+    "stream_contract_audit",
+    "stream_windowed_counts",
+    "ext_kmeans_assign",
+    "stream_kmeans_assign",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "ext_ann_bruteforce_topk",
+    "ext_ann_recall_eval",
+    # representatives: driver-collected model artifacts + Arrow kernels
+    "ext_bpe_merges",
+    "ext_lm_score",
+    "ext_dsir_select",
+    "ext_dedup_resolve",
+    "ext_quantile_sketch",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_env(spark, tmp_path_factory):
+    """Zero-row tables dir + DuckDB views over the same files."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_empty_tables
+
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    materialize_empty_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_PINNED)
+def test_runs_and_matches_oracle_on_empty_input(spark, empty_env, name):
+    from oracle_util import assert_matches_oracle
+
+    empty_dir, con = empty_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, empty_dir), con, sql)

@@ -706,3 +706,22 @@ def test_stream_twin_drained_plans_partition_not_globally_sort(spark, sf_dir):
         exchanges = re.findall(r"\(\d+\) Exchange", plan)
         assert len(exchanges) == 1, (name, exchanges)
         assert f"hashpartitioning({key}" in plan, name
+
+
+def test_rollup_cube_grand_total_branch_reads_the_cache(spark, sf_dir):
+    """rollup/cube derive the ANSI ()-set grand total by re-aggregating
+    the persisted subtotal level through a SECOND canonically-identical
+    plan build. Pin that BOTH union branches read the InMemoryRelation:
+    deriving the total branch from the same frame object trips
+    deduplicateRelations and its re-aliased branch misses the cache,
+    silently recomputing the corpus aggregation (round-13 .explain
+    finding), and a refactor back to `.rollup()`/`.cube()` would drop
+    the grand-total row on empty input (empty_input_sweep catch)."""
+    for name in ("rollup_region_nation", "cube_status_priority"):
+        plan = _plan(spark, sf_dir, name)
+        imr = len(re.findall(r"\(\d+\) InMemoryTableScan", plan))
+        assert imr == 2, (name, imr)
+        # the corpus aggregation exists only INSIDE the cached relation,
+        # whose build plan the formatted tree prints exactly once
+        expands = len(re.findall(r"\(\d+\) Expand", plan))
+        assert expands == 1, (name, expands)
