@@ -33,11 +33,17 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 # missing dim; we use a left join (documented deviation, SURVEY §7.3) —
 # the fixtures' dims are complete so results agree.
 # Gender has no source column: derived deterministically from c_custkey.
+# A missing dim row yields NULL for ALL derived attributes, gender
+# included: the engine computes the derivation on the dim side before
+# the join, and a bare post-join CASE would invent 'M' for an unknown
+# user through its ELSE branch (1-row boundary sweep catch) — the
+# oracle pins the NULL with an explicit IS NOT NULL gate.
 # ---------------------------------------------------------------------------
 
 J1_ORACLE = f"""
 SELECT e.event_id, e.user_id, c.c_name AS user_name,
-       {GENDER_SQL} AS user_gender,
+       CASE WHEN c.c_custkey IS NOT NULL THEN ({GENDER_SQL}) END
+         AS user_gender,
        {fns.age_years_sql(f'({BIRTHDAY_SQL})', f"DATE '{AGE_REF_DATE}'")} AS user_age
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey

@@ -79,3 +79,48 @@ def test_runs_and_matches_oracle_on_empty_input(spark, empty_env, name):
     fn = registry.all_queries()[name]
     sql = registry.all_oracles()[name]
     assert_matches_oracle(fn(spark, empty_dir), con, sql)
+
+
+# single-row boundary (SPARK_GRAFT_BOUNDARY_ROWS=1): the r13 sweep's
+# one catch plus representatives of the n=1 edges it exercises (lag
+# with no predecessor, percentile with nothing to interpolate, LSH
+# with one document)
+ONE_ROW_PINNED = [
+    # the catch: a LEFT-joined dim miss must NULL every derived
+    # attribute — a bare post-join CASE invents 'M' via its ELSE
+    "j1_dim_join_user",
+    "analytic_order_sequence",
+    "exact_percentiles",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_resolve",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_env(spark, tmp_path_factory):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_empty_tables
+
+    d = str(tmp_path_factory.mktemp("onerow_sf"))
+    materialize_empty_tables(d, rows=1)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ONE_ROW_PINNED)
+def test_runs_and_matches_oracle_on_single_row_input(spark, one_row_env, name):
+    from oracle_util import assert_matches_oracle
+
+    d, con = one_row_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
