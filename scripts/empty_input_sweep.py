@@ -21,8 +21,17 @@ with the suite's driver-faithful comparator. One line per problem:
 instead of zero — N=1 is the other classic boundary (single-row
 windows, lag with no predecessor, stddev of one sample, percentile
 interpolation with nothing to interpolate, LSH with one document).
-Both engines read the SAME files, so every divergence is an engine
-semantics difference, never a data artifact.
+`SPARK_GRAFT_BOUNDARY_CLONES=K` (with ROWS=1) repeats that first row
+K times with UNIQUE primary keys (base + i — every other column
+constant): the constant-content table. One hot join/group key
+everywhere (maximum skew), every document an exact duplicate of every
+other (LSH bands collapse into ONE bucket, driving the bucket-cap
+fallback), rank/row_number ties on every ordering key. Keys must stay
+unique because the table contract guarantees it — cloning keys
+verbatim makes the oracles' per-key GROUP BYs collapse rows that
+per-row kernels keep, a data artifact, not an engine divergence.
+Both engines read the SAME files, so every remaining divergence is an
+engine semantics difference, never a data artifact.
 
 Expected legitimate divergence classes (report-and-adjudicate, not
 auto-fail): none known at time of writing — ungrouped aggregates
@@ -42,6 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCHEMA_SF_DIR = os.environ.get("SPARK_GRAFT_SCHEMA_SF", "/root/testdata/sf0.001")
 BOUNDARY_ROWS = int(os.environ.get("SPARK_GRAFT_BOUNDARY_ROWS", "0"))
+BOUNDARY_CLONES = int(os.environ.get("SPARK_GRAFT_BOUNDARY_CLONES", "1"))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -49,15 +59,45 @@ TABLES = (
 ).split()
 
 
-def materialize_empty_tables(dest: str, rows: int = 0) -> None:
+#: per-table primary-key column re-sequenced under cloning (base + i);
+#: every other column repeats verbatim. lineitem's key is the
+#: (l_orderkey, l_linenumber) pair — the line number takes the
+#: sequence, the order FK stays the constant hot key.
+_CLONE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def materialize_empty_tables(dest: str, rows: int = 0, clones: int = 1) -> None:
     """Write an N-row parquet per table with the exact sf schema
-    (N=0: schema-only empty table; N>0: the first N rows)."""
+    (N=0: schema-only empty table; N>0: the first N rows, each
+    repeated ``clones`` times with re-sequenced primary keys — the
+    constant-content boundary)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     for t in TABLES:
         src = os.path.join(SCHEMA_SF_DIR, f"{t}.parquet")
         if rows > 0:
             table = pq.read_table(src).slice(0, rows)
+            if clones > 1:
+                table = pa.concat_tables([table] * clones)
+                key = _CLONE_KEYS[t]
+                i = table.schema.get_field_index(key)
+                base = table.column(key)[0].as_py()
+                seq = pa.array(
+                    range(base, base + len(table)), table.schema.field(key).type
+                )
+                table = table.set_column(i, table.schema.field(key), seq)
         else:
             table = pq.read_schema(src).empty_table()
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
@@ -78,7 +118,7 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    materialize_empty_tables(empty_dir, BOUNDARY_ROWS)
+    materialize_empty_tables(empty_dir, BOUNDARY_ROWS, BOUNDARY_CLONES)
 
     spark = get_spark(app_name="bsr-empty-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,12 +157,12 @@ def main() -> int:
     print(
         f"boundary swept {len(names)} queries "
         f"({len(oracles)} oracled) at {BOUNDARY_ROWS} rows/table "
-        f"in {time.time() - t0:.0f}s"
+        f"x{BOUNDARY_CLONES} clones in {time.time() - t0:.0f}s"
     )
     for name, why in problems:
         print(f"PROBLEM {name}: {why}")
     if not problems:
-        print(f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE")
+        print(f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES")
     spark.stop()
     shutil.rmtree(empty_dir, ignore_errors=True)
     return 1 if problems else 0

@@ -124,3 +124,65 @@ def test_runs_and_matches_oracle_on_single_row_input(spark, one_row_env, name):
     fn = registry.all_queries()[name]
     sql = registry.all_oracles()[name]
     assert_matches_oracle(fn(spark, d), con, sql)
+
+
+# constant-content boundary (ROWS=1, CLONES=K): K copies of row 1 with
+# re-sequenced primary keys — one hot join/group key (max skew), every
+# document an exact duplicate (all LSH bands collapse into ONE bucket),
+# ties on every ordering key. The full x100 sweep was ALL CLEAN in
+# round 13; these pins keep the dedup cluster-of-K and hot-key paths
+# exercised in-suite.
+CLONED_PINNED = [
+    "ext_dedup_exact",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_resolve",
+    "ext_dedup_impact",
+    "ext_dedup_simhash_pairs",
+    "a2_hourly_counts_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def cloned_env(spark, tmp_path_factory):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_empty_tables
+
+    d = str(tmp_path_factory.mktemp("cloned_sf"))
+    materialize_empty_tables(d, rows=1, clones=50)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CLONED_PINNED)
+def test_runs_and_matches_oracle_on_constant_content_input(
+    spark, cloned_env, name
+):
+    from oracle_util import assert_matches_oracle
+
+    d, con = cloned_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
+
+
+def test_constant_content_dedup_forms_one_cluster_of_k(spark, cloned_env):
+    """50 byte-identical documents (unique doc_ids) must resolve into
+    ONE cluster whose keeper is the smallest doc_id — the all-duplicates
+    corner drives every LSH band into a single bucket (the bucket-cap /
+    skew fallback path)."""
+    d, _ = cloned_env
+    impact = registry.all_queries()["ext_dedup_impact"](spark, d).collect()
+    assert len(impact) == 1
+    row = impact[0].asDict()
+    assert row["cluster_size"] == 50
+    assert row["n_clusters"] == 1
+    assert row["n_removed"] == 49
