@@ -34,7 +34,15 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
 
 
 def emb_double(df: DataFrame) -> DataFrame:
-    return df.withColumn(
+    """Vector-op entry point: float32 list → double, NULL vectors
+    dropped. A row without a vector cannot participate in any
+    similarity/centroid/signature computation — the DuckDB oracles
+    skip such rows implicitly (``len(NULL)`` drains their unnest /
+    dot-product CTEs), and before this filter a NULL reaching the
+    Arrow kernels crashed ``np.stack`` (nulls-injected boundary sweep,
+    round 13). The filter pushes down to the parquet scan and is a
+    no-op on vintage data, which has no NULLs."""
+    return df.where(F.col("embedding").isNotNull()).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
 

@@ -48,7 +48,8 @@ CELL_STATS_ORACLE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          embedding::DOUBLE[] AS centroid
-  FROM embeddings WHERE vec_id % {STRIDE} = {OFFSET}
+  FROM embeddings
+  WHERE vec_id % {STRIDE} = {OFFSET} AND embedding IS NOT NULL
   ORDER BY vec_id LIMIT {N_CELLS}
 ),
 assigned AS (
@@ -59,6 +60,7 @@ assigned AS (
              ORDER BY {_SQD_E}, c.cell
            ) AS rn
     FROM embeddings e CROSS JOIN cents c
+    WHERE e.embedding IS NOT NULL
   ) WHERE rn = 1
 ),
 pop AS (

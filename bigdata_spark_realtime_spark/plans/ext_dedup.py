@@ -388,6 +388,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 ORDER BY cos_sim DESC, vec_a, vec_b
 LIMIT {NEARDUP_TOPK}
 """

@@ -71,13 +71,21 @@ lex AS (
   FROM agg
 ),
 anchors AS ({_ANCHOR_SQL}),
+-- NULL vectors sit out every vector op (engine: emb_double). The
+-- filter lives in a MATERIALIZED source CTE because DuckDB's
+-- optimizer can hoist the cosine projection above a plain WHERE in
+-- the full fused pipeline, crashing list_cosine_similarity on the
+-- NULL it was told to drop (nulls-injected boundary sweep)
+embn AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+),
 sem_all AS (
   SELECT a.query_id, e.vec_id AS doc_id,
          round(list_cosine_similarity(e.embedding::DOUBLE[],
                                       q.embedding::DOUBLE[]), 4) AS cos_sim
   FROM anchors a
-  JOIN embeddings q ON a.anchor_id = q.vec_id
-  CROSS JOIN embeddings e
+  JOIN embn q ON a.anchor_id = q.vec_id
+  CROSS JOIN embn e
 ),
 sem AS (
   SELECT query_id, doc_id,

@@ -70,7 +70,8 @@ IVF_ORACLE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          embedding::DOUBLE[] AS centroid
-  FROM embeddings WHERE vec_id % {STRIDE} = {OFFSET}
+  FROM embeddings
+  WHERE vec_id % {STRIDE} = {OFFSET} AND embedding IS NOT NULL
   ORDER BY vec_id LIMIT {N_CELLS}
 ),
 assigned AS (
@@ -81,6 +82,7 @@ assigned AS (
              ORDER BY {SQD_E}, c.cell
            ) AS rn
     FROM embeddings e CROSS JOIN cents c
+    WHERE e.embedding IS NOT NULL
   ) WHERE rn = 1
 ),
 probed AS (
@@ -90,7 +92,8 @@ probed AS (
              PARTITION BY q.vec_id
              ORDER BY {SQD_Q}, c.cell
            ) AS rn
-    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES} AND q.embedding IS NOT NULL
   ) WHERE rn <= {N_PROBE}
 )
 SELECT query_id, neighbor_id, cos_sim FROM (

@@ -26,11 +26,16 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 N_QUERIES = 10
 TOP_K = 5
 
+#: NULL-vector rows participate in NO vector op (the engine's
+#: emb_double drops them before the kernels) — the oracle filters
+#: them explicitly because DuckDB would otherwise rank NULL cos_sims
+#: (or crash list_cosine_similarity) instead of skipping the row
 _PAIR_SQL = """
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim
   FROM embeddings q JOIN embeddings c ON {join_cond} q.vec_id <> c.vec_id
   WHERE q.vec_id < {n}
+    AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL
 """
 
 BRUTE_ORACLE = f"""

@@ -76,7 +76,7 @@ WITH q AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(floor(x * {H.SRP_SCALE}) AS BIGINT)) AS qe
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 sig AS MATERIALIZED (
   SELECT vec_id,
@@ -151,12 +151,14 @@ def ext_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-random-projection signatures (12 bands × 16 bits) → skew-guarded
     bucket-local pairs → exact-cosine verify on candidates only →
     global top-K by (rounded cos_sim DESC, vec_a, vec_b)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # emb_double drops NULL vectors before the signature kernel (its
+    # np.stack crashes on None; the kernel astype('float64')s anyway,
+    # so the double cast never changes a signature)
+    e = emb_double(load_table(spark, sf_dir, "embeddings"))
     cand = _bucket_pairs(
-        srp_band_rows(emb).withColumnRenamed("vec_id", "doc_id"),
+        srp_band_rows(e).withColumnRenamed("vec_id", "doc_id"),
         ("band", "key"),
     ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
-    e = emb_double(emb)
     e1 = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     e2 = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 4)

@@ -33,6 +33,16 @@ per-row kernels keep, a data artifact, not an engine divergence.
 Both engines read the SAME files, so every remaining divergence is an
 engine semantics difference, never a data artifact.
 
+`SPARK_GRAFT_BOUNDARY_NULLS=1` runs at FULL sf0.001 but NULLs every
+3rd row of the optional attribute columns (measure/JSON/label columns
+— never keys, timestamps, or the document text the kernel contract
+declares NOT NULL): the generator writes zero NULLs anywhere, so
+without this mode every NULL path outside the contract audits is
+oracle-unexercised. Classic divergence classes to expect: ORDER BY
+with NULLs (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST),
+`concat` (Spark propagates NULL, DuckDB treats it as ''), NaN-vs-NULL
+coercions.
+
 Expected legitimate divergence classes (report-and-adjudicate, not
 auto-fail): none known at time of writing — ungrouped aggregates
 return one all-NULL/0 row in BOTH engines, grouped ones return zero
@@ -52,6 +62,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCHEMA_SF_DIR = os.environ.get("SPARK_GRAFT_SCHEMA_SF", "/root/testdata/sf0.001")
 BOUNDARY_ROWS = int(os.environ.get("SPARK_GRAFT_BOUNDARY_ROWS", "0"))
 BOUNDARY_CLONES = int(os.environ.get("SPARK_GRAFT_BOUNDARY_CLONES", "1"))
+BOUNDARY_NULLS = os.environ.get("SPARK_GRAFT_BOUNDARY_NULLS", "") == "1"
+
+#: optional attribute columns NULLed (every 3rd row) under the nulls
+#: boundary. Deliberately excluded: primary/foreign keys (contract),
+#: timestamps (watermark/sentinel machinery defines ingest-time
+#: validation as the NULL gate), documents.text and event_type (the
+#: kernel / routing contracts declare them NOT NULL — the contract
+#: audit operator is where those violations surface).
+_NULLABLE = {
+    "events": ["value", "props"],
+    "documents": ["lang", "source"],
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "lineitem": ["l_discount"],
+    "embeddings": ["embedding"],
+}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -103,6 +129,24 @@ def materialize_empty_tables(dest: str, rows: int = 0, clones: int = 1) -> None:
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
 
 
+def materialize_nulled_tables(dest: str) -> None:
+    """Full sf copy with every 3rd row of the optional attribute
+    columns NULLed — deterministic, both engines read the result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        keep = pa.array([i % 3 != 0 for i in range(len(table))])
+        for col in _NULLABLE.get(t, []):
+            i = table.schema.get_field_index(col)
+            field = table.schema.field(col)
+            nulled = pc.if_else(keep, table.column(col).combine_chunks(), None)
+            table = table.set_column(i, pa.field(field.name, field.type), nulled)
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
 def main() -> int:
     import duckdb
 
@@ -118,7 +162,10 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    materialize_empty_tables(empty_dir, BOUNDARY_ROWS, BOUNDARY_CLONES)
+    if BOUNDARY_NULLS:
+        materialize_nulled_tables(empty_dir)
+    else:
+        materialize_empty_tables(empty_dir, BOUNDARY_ROWS, BOUNDARY_CLONES)
 
     spark = get_spark(app_name="bsr-empty-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -156,13 +203,18 @@ def main() -> int:
             problems.append((name, f"ORACLE-ERROR {type(ex).__name__}: {ex}"))
     print(
         f"boundary swept {len(names)} queries "
-        f"({len(oracles)} oracled) at {BOUNDARY_ROWS} rows/table "
-        f"x{BOUNDARY_CLONES} clones in {time.time() - t0:.0f}s"
+        f"({len(oracles)} oracled) at "
+        + ("FULL sf, nulls-injected" if BOUNDARY_NULLS
+           else f"{BOUNDARY_ROWS} rows/table x{BOUNDARY_CLONES} clones")
+        + f" in {time.time() - t0:.0f}s"
     )
     for name, why in problems:
         print(f"PROBLEM {name}: {why}")
     if not problems:
-        print(f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES")
+        print(
+            "ALL CLEAN WITH NULLS INJECTED" if BOUNDARY_NULLS
+            else f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES"
+        )
     spark.stop()
     shutil.rmtree(empty_dir, ignore_errors=True)
     return 1 if problems else 0

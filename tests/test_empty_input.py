@@ -174,6 +174,59 @@ def test_runs_and_matches_oracle_on_constant_content_input(
     assert_matches_oracle(fn(spark, d), con, sql)
 
 
+# nulls-injected boundary (BOUNDARY_NULLS=1): full sf0.001 with every
+# 3rd row of the optional attribute columns NULLed (measures, props,
+# lang/source labels, embeddings — never keys/timestamps/text). The
+# round-13 sweep caught the whole embedding-kernel family crashing on
+# NULL vectors reaching np.stack; contract now: a row without a vector
+# sits out every vector op (emb_double filters, oracles filter
+# explicitly — DuckDB would otherwise rank NULL cos_sims or crash
+# list_cosine_similarity).
+NULLED_PINNED = [
+    "ext_ann_bruteforce_topk",
+    "ext_ann_ivf_topk",
+    "ext_ivf_cell_stats",
+    "ext_dedup_embedding",
+    "ext_dedup_semantic",
+    "ext_dedup_embedding_srp",
+    "ext_hybrid_search",
+    "ext_ann_recall_eval",
+    # representatives of the NULL paths that were clean on first sweep
+    "w6_tumbling_window_agg",   # NULL event values in sums
+    "ext_text_quality_score",   # NULL lang/source labels
+]
+
+
+@pytest.fixture(scope="module")
+def nulled_env(spark, tmp_path_factory):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_nulled_tables
+
+    d = str(tmp_path_factory.mktemp("nulled_sf"))
+    materialize_nulled_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NULLED_PINNED)
+def test_runs_and_matches_oracle_on_nulled_input(spark, nulled_env, name):
+    from oracle_util import assert_matches_oracle
+
+    d, con = nulled_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
+
+
 def test_constant_content_dedup_forms_one_cluster_of_k(spark, cloned_env):
     """50 byte-identical documents (unique doc_ids) must resolve into
     ONE cluster whose keeper is the smallest doc_id — the all-duplicates
