@@ -43,6 +43,13 @@ with NULLs (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST),
 `concat` (Spark propagates NULL, DuckDB treats it as ''), NaN-vs-NULL
 coercions.
 
+`SPARK_GRAFT_BOUNDARY_TEXT=1` runs at FULL sf0.001 but rewrites the
+document text by position: every 4th doc becomes the EMPTY string,
+the next a single non-ASCII char, the next whitespace-only — the
+tokenizer/shingle/quality-ratio edges (zero-length division, zero
+shingles, unicode length vs byte length) that generator prose can
+never produce.
+
 Expected legitimate divergence classes (report-and-adjudicate, not
 auto-fail): none known at time of writing — ungrouped aggregates
 return one all-NULL/0 row in BOTH engines, grouped ones return zero
@@ -63,6 +70,7 @@ SCHEMA_SF_DIR = os.environ.get("SPARK_GRAFT_SCHEMA_SF", "/root/testdata/sf0.001"
 BOUNDARY_ROWS = int(os.environ.get("SPARK_GRAFT_BOUNDARY_ROWS", "0"))
 BOUNDARY_CLONES = int(os.environ.get("SPARK_GRAFT_BOUNDARY_CLONES", "1"))
 BOUNDARY_NULLS = os.environ.get("SPARK_GRAFT_BOUNDARY_NULLS", "") == "1"
+BOUNDARY_TEXT = os.environ.get("SPARK_GRAFT_BOUNDARY_TEXT", "") == "1"
 
 #: optional attribute columns NULLed (every 3rd row) under the nulls
 #: boundary. Deliberately excluded: primary/foreign keys (contract),
@@ -147,6 +155,27 @@ def materialize_nulled_tables(dest: str) -> None:
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
 
 
+def materialize_text_edge_tables(dest: str) -> None:
+    """Full sf copy with document text rewritten by position: empty
+    string / single non-ASCII char / whitespace-only / unchanged, in
+    rotation. Other tables copy through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    edges = ["", "é", "   "]  # empty, one 2-byte char, whitespace
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        if t == "documents":
+            i = table.schema.get_field_index("text")
+            field = table.schema.field("text")
+            vals = table.column("text").to_pylist()
+            vals = [
+                edges[r % 4] if r % 4 < 3 else v for r, v in enumerate(vals)
+            ]
+            table = table.set_column(i, field, pa.array(vals, field.type))
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
 def main() -> int:
     import duckdb
 
@@ -162,7 +191,9 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    if BOUNDARY_NULLS:
+    if BOUNDARY_TEXT:
+        materialize_text_edge_tables(empty_dir)
+    elif BOUNDARY_NULLS:
         materialize_nulled_tables(empty_dir)
     else:
         materialize_empty_tables(empty_dir, BOUNDARY_ROWS, BOUNDARY_CLONES)
@@ -204,7 +235,8 @@ def main() -> int:
     print(
         f"boundary swept {len(names)} queries "
         f"({len(oracles)} oracled) at "
-        + ("FULL sf, nulls-injected" if BOUNDARY_NULLS
+        + ("FULL sf, text-edges" if BOUNDARY_TEXT
+           else "FULL sf, nulls-injected" if BOUNDARY_NULLS
            else f"{BOUNDARY_ROWS} rows/table x{BOUNDARY_CLONES} clones")
         + f" in {time.time() - t0:.0f}s"
     )
@@ -212,7 +244,8 @@ def main() -> int:
         print(f"PROBLEM {name}: {why}")
     if not problems:
         print(
-            "ALL CLEAN WITH NULLS INJECTED" if BOUNDARY_NULLS
+            "ALL CLEAN WITH TEXT EDGES" if BOUNDARY_TEXT
+            else "ALL CLEAN WITH NULLS INJECTED" if BOUNDARY_NULLS
             else f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES"
         )
     spark.stop()

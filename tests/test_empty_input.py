@@ -227,6 +227,50 @@ def test_runs_and_matches_oracle_on_nulled_input(spark, nulled_env, name):
     assert_matches_oracle(fn(spark, d), con, sql)
 
 
+# text-edge boundary (BOUNDARY_TEXT=1): document text rewritten by
+# position to empty / single non-ASCII char / whitespace-only — the
+# tokenizer/shingle/quality-ratio edges. The full round-13 sweep was
+# ALL CLEAN with zero engine changes; these pins keep the zero-token
+# and unicode-length paths exercised in-suite.
+TEXT_EDGE_PINNED = [
+    "ext_text_quality_score",
+    "ext_text_lang_id",
+    "ext_dedup_minhash_lsh",
+    "ext_bpe_merges",
+    "ext_chunk_windows",
+]
+
+
+@pytest.fixture(scope="module")
+def text_edge_env(spark, tmp_path_factory):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_text_edge_tables
+
+    d = str(tmp_path_factory.mktemp("textedge_sf"))
+    materialize_text_edge_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TEXT_EDGE_PINNED)
+def test_runs_and_matches_oracle_on_text_edges(spark, text_edge_env, name):
+    from oracle_util import assert_matches_oracle
+
+    d, con = text_edge_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
+
+
 def test_constant_content_dedup_forms_one_cluster_of_k(spark, cloned_env):
     """50 byte-identical documents (unique doc_ids) must resolve into
     ONE cluster whose keeper is the smallest doc_id — the all-duplicates
