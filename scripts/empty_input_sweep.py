@@ -43,6 +43,14 @@ with NULLs (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST),
 `concat` (Spark propagates NULL, DuckDB treats it as ''), NaN-vs-NULL
 coercions.
 
+`SPARK_GRAFT_BOUNDARY_REVERSE=1` runs at FULL sf0.001 with every
+table's physical row order REVERSED. Every query must be a
+deterministic function of the row SET: any kernel or plan taking a
+"first" row per group without a total order produces a different
+answer on the reversed file than DuckDB does, surfacing hidden
+arrival-order dependence — the nondeterminism that shows up at
+cluster scale as flaky results across runs.
+
 `SPARK_GRAFT_BOUNDARY_TEXT=1` runs at FULL sf0.001 but rewrites the
 document text by position: every 4th doc becomes the EMPTY string,
 the next a single non-ASCII char, the next whitespace-only — the
@@ -71,6 +79,7 @@ BOUNDARY_ROWS = int(os.environ.get("SPARK_GRAFT_BOUNDARY_ROWS", "0"))
 BOUNDARY_CLONES = int(os.environ.get("SPARK_GRAFT_BOUNDARY_CLONES", "1"))
 BOUNDARY_NULLS = os.environ.get("SPARK_GRAFT_BOUNDARY_NULLS", "") == "1"
 BOUNDARY_TEXT = os.environ.get("SPARK_GRAFT_BOUNDARY_TEXT", "") == "1"
+BOUNDARY_REVERSE = os.environ.get("SPARK_GRAFT_BOUNDARY_REVERSE", "") == "1"
 
 #: optional attribute columns NULLed (every 3rd row) under the nulls
 #: boundary. Deliberately excluded: primary/foreign keys (contract),
@@ -176,6 +185,17 @@ def materialize_text_edge_tables(dest: str) -> None:
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
 
 
+def materialize_reversed_tables(dest: str) -> None:
+    """Full sf copy with the physical row order reversed — a query
+    whose answer changes is arrival-order-dependent, i.e. broken."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        idx = list(range(len(table) - 1, -1, -1))
+        pq.write_table(table.take(idx), os.path.join(dest, f"{t}.parquet"))
+
+
 def main() -> int:
     import duckdb
 
@@ -191,7 +211,9 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    if BOUNDARY_TEXT:
+    if BOUNDARY_REVERSE:
+        materialize_reversed_tables(empty_dir)
+    elif BOUNDARY_TEXT:
         materialize_text_edge_tables(empty_dir)
     elif BOUNDARY_NULLS:
         materialize_nulled_tables(empty_dir)
@@ -235,7 +257,8 @@ def main() -> int:
     print(
         f"boundary swept {len(names)} queries "
         f"({len(oracles)} oracled) at "
-        + ("FULL sf, text-edges" if BOUNDARY_TEXT
+        + ("FULL sf, row order reversed" if BOUNDARY_REVERSE
+           else "FULL sf, text-edges" if BOUNDARY_TEXT
            else "FULL sf, nulls-injected" if BOUNDARY_NULLS
            else f"{BOUNDARY_ROWS} rows/table x{BOUNDARY_CLONES} clones")
         + f" in {time.time() - t0:.0f}s"
@@ -244,7 +267,8 @@ def main() -> int:
         print(f"PROBLEM {name}: {why}")
     if not problems:
         print(
-            "ALL CLEAN WITH TEXT EDGES" if BOUNDARY_TEXT
+            "ALL CLEAN WITH ROW ORDER REVERSED" if BOUNDARY_REVERSE
+            else "ALL CLEAN WITH TEXT EDGES" if BOUNDARY_TEXT
             else "ALL CLEAN WITH NULLS INJECTED" if BOUNDARY_NULLS
             else f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES"
         )

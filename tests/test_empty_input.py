@@ -271,6 +271,47 @@ def test_runs_and_matches_oracle_on_text_edges(spark, text_edge_env, name):
     assert_matches_oracle(fn(spark, d), con, sql)
 
 
+# reversed-row-order boundary (BOUNDARY_REVERSE=1): every query must
+# be a deterministic function of the row SET — the full round-13 sweep
+# was ALL CLEAN. These pins keep the most order-tempted shapes (keeper
+# election, rank windows, sequence analytics) exercised in-suite.
+REVERSED_PINNED = [
+    "ext_dedup_resolve",
+    "a2_hourly_counts_topk",
+    "analytic_order_sequence",
+]
+
+
+@pytest.fixture(scope="module")
+def reversed_env(spark, tmp_path_factory):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "scripts")
+    from empty_input_sweep import TABLES, materialize_reversed_tables
+
+    d = str(tmp_path_factory.mktemp("reversed_sf"))
+    materialize_reversed_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REVERSED_PINNED)
+def test_runs_and_matches_oracle_on_reversed_rows(spark, reversed_env, name):
+    from oracle_util import assert_matches_oracle
+
+    d, con = reversed_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
+
+
 def test_constant_content_dedup_forms_one_cluster_of_k(spark, cloned_env):
     """50 byte-identical documents (unique doc_ids) must resolve into
     ONE cluster whose keeper is the smallest doc_id — the all-duplicates
