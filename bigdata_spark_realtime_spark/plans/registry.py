@@ -51,24 +51,46 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r13 window (exactly 50 queries): a pure refresh rotation — the
-    # first since PENDING_FIRST_DRIVER_ROW hit zero in r12. Leads with
-    # the three post-NULL-revert queries that changed bodies after
-    # their r10 green rows (ext_pit_scd2_join, ext_contract_audit,
-    # stream_contract_audit — commit 736a7e6; round-11 judge "What's
-    # wrong #1"), then re-seats the stalest-era rows: r5 transforms
-    # t-family + tpch q2/q12/q21, and the r7 tpch rest / joins /
-    # aggregations / sort_limit / serving. Precomputed + simulation-
-    # verified at the end of round 12 (plans/ROTATION_R13.md, deleted
-    # in this rotation commit) and re-simulated in a fresh interpreter
-    # before committing. Import side effects counted: ext_pit's
-    # module-level `from ...ext_scd2 import ...` drags
-    # ext_scd2_intervals to slot 1 (an r10 refresh from the same
-    # family), then pit/contract take 2-4 (ext_contract's
-    # streaming_queries import is function-level — no drag), transforms
-    # 5-10, tpch 11-32, joins 33-38, aggregations 39-44, sort_limit
-    # 45-47, serving 48-50 (serving_detail_by_item lands at slot 51 —
-    # keeps its r7 row, re-seats in R14).
+    # r14 window (exactly 50 queries): refresh rotation planned at the
+    # end of round 13 (plans/ROTATION_R14.md, deleted in this rotation
+    # commit) and re-simulated in a fresh interpreter before
+    # committing. Seats first driver rows for the round-13 streaming
+    # intake twins stream_scene_cuts / stream_pack_shards (slots
+    # 42-43), retires the last r5-era rows (ANN brute/bucketed + SRP,
+    # slots 7-9), every remaining r7 row (analytic 1-6, serving 10-13,
+    # asof 14, dedup 15-16, text 17-20, ext_pack_shards 41,
+    # serving_detail_by_item 13), and 18 of the 19 r8 rows. Import
+    # side effects counted: ext_bm25's module-level ext_ivf import
+    # drags ext_ann_ivf_topk to slot 23; ext_quality's decontam/
+    # sampling imports drag four r12 rows to 27-30; ext_stream_tail5's
+    # ext_multimodal import drags meta/decode/features to 38-40 and
+    # ext_pack_shards to 41; ext_curation3 drags ext_lm_score to 47.
+    # ext_pii_redact lands at slot 51 and seats first in R15.
+    "bigdata_spark_realtime_spark.plans.analytic",
+    "bigdata_spark_realtime_spark.plans.ext_similarity",
+    "bigdata_spark_realtime_spark.plans.ext_srp",
+    "bigdata_spark_realtime_spark.plans.serving",
+    "bigdata_spark_realtime_spark.plans.ext_asof",
+    "bigdata_spark_realtime_spark.plans.dedup",
+    "bigdata_spark_realtime_spark.plans.ext_text",
+    "bigdata_spark_realtime_spark.plans.ext_tfidf",
+    "bigdata_spark_realtime_spark.plans.ext_bm25",
+    "bigdata_spark_realtime_spark.plans.ext_semantic",
+    "bigdata_spark_realtime_spark.plans.ext_substring",
+    "bigdata_spark_realtime_spark.plans.ext_quality",
+    "bigdata_spark_realtime_spark.plans.ext_mixture",
+    "bigdata_spark_realtime_spark.plans.ext_profile",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail5",
+    "bigdata_spark_realtime_spark.plans.ext_media_tail",
+    "bigdata_spark_realtime_spark.plans.ext_chunk",
+    "bigdata_spark_realtime_spark.plans.ext_curation3",
+    "bigdata_spark_realtime_spark.plans.ext_hybrid",
+    "bigdata_spark_realtime_spark.plans.ext_order",
+    "bigdata_spark_realtime_spark.plans.ext_pii",
+    # below here every query is OUTSIDE the 50-slot gate window; all
+    # have driver-verified rows (r8-r13).
+    # Relative order preserved from the r13 layout so refresh-rotation
+    # planning (plans/ROTATION_R15.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_pit",
     "bigdata_spark_realtime_spark.plans.ext_contract",
     "bigdata_spark_realtime_spark.plans.transforms",
@@ -76,11 +98,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.joins",
     "bigdata_spark_realtime_spark.plans.aggregations",
     "bigdata_spark_realtime_spark.plans.sort_limit",
-    "bigdata_spark_realtime_spark.plans.serving",
-    # below here every query is OUTSIDE the 50-slot gate window; all
-    # have driver-verified rows (r5-r12).
-    # Relative order preserved from the r12 layout so refresh-rotation
-    # planning (plans/ROTATION_R14.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
@@ -98,8 +115,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_communities",
     "bigdata_spark_realtime_spark.plans.ext_embaudit",
     "bigdata_spark_realtime_spark.plans.ext_annops",
-    # round-11 addition (driver row r11): registration shim keeping
-    # ext_session_paths_daily's slot stable relative to ext_paths
     "bigdata_spark_realtime_spark.plans.ext_paths_daily",
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
@@ -136,42 +151,15 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_rollup",
     "bigdata_spark_realtime_spark.plans.ext_sketch_tail",
     "bigdata_spark_realtime_spark.plans.ext_funnel",
-    "bigdata_spark_realtime_spark.plans.ext_quality",
-    "bigdata_spark_realtime_spark.plans.ext_semantic",
-    "bigdata_spark_realtime_spark.plans.ext_mixture",
-    "bigdata_spark_realtime_spark.plans.ext_pii",
     "bigdata_spark_realtime_spark.plans.ext_lm",
-    "bigdata_spark_realtime_spark.plans.ext_substring",
-    "bigdata_spark_realtime_spark.plans.ext_tfidf",
-    "bigdata_spark_realtime_spark.plans.ext_order",
-    "bigdata_spark_realtime_spark.plans.ext_chunk",
-    "bigdata_spark_realtime_spark.plans.ext_profile",
-    "bigdata_spark_realtime_spark.plans.ext_curation3",
-    "bigdata_spark_realtime_spark.plans.ext_bm25",
-    "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_sketch",
-    "bigdata_spark_realtime_spark.plans.ext_media_tail",
-    "bigdata_spark_realtime_spark.plans.ext_text",
     "bigdata_spark_realtime_spark.plans.ext_multimodal",
-    "bigdata_spark_realtime_spark.plans.ext_asof",
     "bigdata_spark_realtime_spark.plans.ext_packing",
-    "bigdata_spark_realtime_spark.plans.dedup",
-    "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.sessionize",
     "bigdata_spark_realtime_spark.plans.ext_ivf",
     "bigdata_spark_realtime_spark.plans.ext_dedup",
     "bigdata_spark_realtime_spark.plans.ext_sampling",
-    "bigdata_spark_realtime_spark.plans.ext_srp",
-    "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    # round-13 additions (PENDING_FIRST_DRIVER_ROW; R14 window): the
-    # multimodal/packing streaming intake twins — registered LAST so
-    # the pinned R13 window is untouched (splice rule)
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail5",
-    # round-13 late additions (PENDING_FIRST_DRIVER_ROW; seat in R15 —
-    # the simulated R14 window in plans/ROTATION_R14.md predates them):
-    # approximation-quality audits + the streaming funnel twin, behind
-    # ext_stream_tail5 so the R14 simulation's first-50 is untouched
     "bigdata_spark_realtime_spark.plans.ext_approx_audit",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail6",
 )

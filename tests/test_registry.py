@@ -119,72 +119,68 @@ EXPECTED_PER_MODULE = {
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; upcoming rotations must move them into
-#: a window and empty this set. The round-13 surface growth (≤5/round
-#: cap, fully used): the two streaming intake twins (ext_stream_tail5)
-#: seat in the simulated R14 refresh window (slots 42-43); the three
-#: late additions (ext_approx_audit + ext_stream_tail6, registered
-#: after the R14 window was simulated and committed) seat in R15.
+#: a window and empty this set. The round-13 streaming intake twins
+#: seated in the executed R14 window (slots 42-43); the three round-13
+#: late additions (ext_approx_audit + ext_stream_tail6) seat in R15.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "stream_scene_cuts",
-    "stream_pack_shards",
     "ext_ann_recall_eval",
     "ext_minhash_error_audit",
     "stream_funnel_steps",
 }
 
-#: The exact first-50 registration window the round-13 external
-#: correctness gate sees: the first pure-refresh rotation (pending hit
-#: zero in r12). The three post-NULL-revert queries (R13_TARGETS below)
-#: get their first post-revert driver rows at slots 2-4 — ext_pit's
-#: module-level ext_scd2 import drags ext_scd2_intervals to slot 1 (an
-#: r10 refresh from the same family) — then the stalest-era rows
-#: re-seat: r5 transforms t-family (slots 5-10), tpch (11-32, including
-#: the r5-era q2/q12/q21), joins (33-38), aggregations (39-44),
-#: sort_limit (45-47, seating l4_field_fetch_cap displaced from the R11
-#: window), serving (48-50; serving_detail_by_item lands at slot 51 and
-#: re-seats in R14).
+#: The exact first-50 registration window the round-14 external
+#: correctness gate sees: the refresh rotation planned in round 13
+#: (plans/ROTATION_R14.md, deleted in the rotation commit). First
+#: driver rows for the round-13 streaming intake twins (R14_TARGETS,
+#: slots 42-43); the last r5-era rows (ANN brute/bucketed + SRP, slots
+#: 7-9), every remaining r7 row (analytic 1-6, serving 10-13, asof 14,
+#: dedup 15-16, text 17-20, ext_pack_shards 41), and 18 of 19 r8 rows
+#: retire. Import drags counted: ext_bm25→ext_ann_ivf_topk (23),
+#: ext_quality→decontam/sampling r12 rows (27-30),
+#: ext_stream_tail5→multimodal meta/decode/features (38-40) +
+#: ext_pack_shards (41), ext_curation3→ext_lm_score (47).
+#: ext_pii_redact lands at slot 51 — seats first in R15.
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R13_WINDOW = [
-    "ext_scd2_intervals", "ext_pit_scd2_join", "ext_contract_audit",
-    "stream_contract_audit", "t1_json_extract", "t4_error_route",
-    "t6_multiplex_split", "t7_explode_tokens", "t8_cdc_op_normalize",
-    "t9_table_routing", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q10_returned_items", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-    "q18_large_volume_customer", "q4_priority_exists",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q22_sales_opportunity", "q20_dominant_supplier",
-    "q11_important_value_share", "q12_late_shipment_priority",
-    "q21_waiting_supplier", "q2_min_cost_supplier", "j1_dim_join_user",
-    "j2_dim_join_geo", "j4_order_wide_join", "j6_semi_join_routing",
-    "j7_exists_semi_join", "j8_anti_join", "a1_count_total",
-    "a2_hourly_counts_topk", "a3_day_over_day", "a4_stats_by_item_top100",
-    "a5_age_rebucket", "a6_gender_relabel", "l1_pagination_page2",
-    "l2_page_with_total", "l4_field_fetch_cap", "serving_dau_realtime",
-    "serving_stats_by_item_age", "serving_stats_by_item_gender",
+R14_WINDOW = [
+    "analytic_order_sequence", "cube_status_priority", "exact_percentiles",
+    "set_ops_customer_cohorts", "bucketed_colocated_join",
+    "w7_sliding_window_agg", "ext_ann_bruteforce_topk",
+    "ext_ann_bucketed_topk", "ext_dedup_embedding_srp",
+    "serving_dau_realtime", "serving_stats_by_item_age",
+    "serving_stats_by_item_gender", "serving_detail_by_item",
+    "ext_asof_join", "d1_first_seen_dedup", "d3_last_write_wins",
+    "ext_text_token_stats", "ext_text_lang_id", "ext_text_quality_score",
+    "ext_text_fingerprint", "ext_text_tfidf", "ext_bm25_search",
+    "ext_ann_ivf_topk", "ext_dedup_semantic", "ext_dedup_substring",
+    "ext_text_repetition", "ext_decontaminate", "ext_sample_stratified",
+    "ext_curation_pipeline", "ext_sample_source_cap", "ext_curation_full",
+    "ext_text_boilerplate_ngrams", "ext_quality_classifier",
+    "ext_mixture_weights", "ext_mixture_resample", "ext_corpus_profile",
+    "ext_source_overlap", "ext_multimodal_meta", "ext_multimodal_decode",
+    "ext_multimodal_features", "ext_pack_shards", "stream_scene_cuts",
+    "stream_pack_shards", "ext_multimodal_frames", "ext_multimodal_resize",
+    "ext_chunk_windows", "ext_lm_score", "ext_curation_scored",
+    "ext_hybrid_search", "ext_train_order",
 ]
 
-#: the 3 rows this window exists to verify (bodies changed AFTER their
-#: r10 green rows — the 736a7e6 NULL revert; round-11 judge "What's
-#: wrong #1") — asserted as a subset so a future splice can't silently
-#: evict one while keeping the list length at 50
-R13_TARGETS = {
-    "ext_pit_scd2_join", "ext_contract_audit", "stream_contract_audit",
+#: the 2 rows this window exists to give FIRST driver rows (round-13
+#: surface growth) — asserted as a subset so a future splice can't
+#: silently evict one while keeping the list length at 50
+R14_TARGETS = {
+    "stream_scene_cuts", "stream_pack_shards",
 }
 
 #: stable alias for dependents (test_partition_invariance.py): each
 #: rotation rebinds this to the new R{N}_TARGETS so importers survive
 #: the rename
-CURRENT_ROTATION_TARGETS = R13_TARGETS
+CURRENT_ROTATION_TARGETS = R14_TARGETS
 
 
-def test_r13_gate_window_is_pinned():
+def test_r14_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r13 window, in order.
+    must be exactly the planned r14 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -195,9 +191,9 @@ def test_r13_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R13_WINDOW) == 50
-    assert len(R13_TARGETS) == 3
-    assert R13_TARGETS <= set(R13_WINDOW)
+    assert len(R14_WINDOW) == 50
+    assert len(R14_TARGETS) == 2
+    assert R14_TARGETS <= set(R14_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -211,7 +207,7 @@ def test_r13_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R13_WINDOW
+    assert got == R14_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -276,7 +272,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R13_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R14_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
