@@ -145,7 +145,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     them all; sentinel rows are excluded from the returned frame and
     their own window never finalizes."""
     import hashlib
-    from datetime import datetime, timedelta
+    from datetime import datetime, timedelta, timezone
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -185,10 +185,29 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_vintage = pa.types.is_integer(src_schema.field("ts").type)
         if max_ts is None:
             # ZERO-ROW source (empty-input sweep): no real window needs
-            # flushing — any valid sentinel ts works; pin a fixed one
-            max_ts = (
-                0 if int_vintage else datetime(1970, 1, 1, tzinfo=None)
-            )
+            # flushing — any valid sentinel ts works; pin a fixed one.
+            # A timestamp sentinel inherits the column's own tz (the
+            # non-empty path gets this for free from max(ts)); a naive
+            # constant would mis-zone against a tz-aware vintage.
+            if int_vintage:
+                max_ts = 0
+            else:
+                col_tz = getattr(src_schema.field("ts").type, "tz", None)
+                if not col_tz:
+                    tzinfo = None
+                elif col_tz[0] in "+-":  # pyarrow offset form "+05:30"
+                    hh, mm = col_tz[1:].split(":")
+                    sign = 1 if col_tz[0] == "+" else -1
+                    tzinfo = timezone(
+                        sign * timedelta(hours=int(hh), minutes=int(mm))
+                    )
+                elif col_tz.upper() == "UTC":
+                    tzinfo = timezone.utc
+                else:
+                    from zoneinfo import ZoneInfo
+
+                    tzinfo = ZoneInfo(col_tz)
+                max_ts = datetime(1970, 1, 1, tzinfo=tzinfo)
         if isinstance(max_ts, int):  # raw int64 epoch-nanos vintage
             flush = max_ts + 3650 * 86400 * 1_000_000_000
         else:  # any timestamp unit — pyarrow hands back a datetime

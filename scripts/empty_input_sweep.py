@@ -133,6 +133,16 @@ def materialize_empty_tables(dest: str, rows: int = 0, clones: int = 1) -> None:
         if rows > 0:
             table = pq.read_table(src).slice(0, rows)
             if clones > 1:
+                # the key re-sequencing below rewrites EVERY row's key
+                # (originals included) to base..base+N*K; only for N=1
+                # does the first clone keep the original key that other
+                # tables' FK columns still reference (round-13 advisor)
+                if rows != 1:
+                    raise ValueError(
+                        "BOUNDARY_CLONES > 1 requires BOUNDARY_ROWS == 1: "
+                        "re-sequencing would rewrite the original rows' "
+                        "keys and break cross-table FK references"
+                    )
                 table = pa.concat_tables([table] * clones)
                 key = _CLONE_KEYS[t]
                 i = table.schema.get_field_index(key)

@@ -24,7 +24,20 @@ Defect classes fixed in round 13 (each pinned here):
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
+
+# absolute, so the suite imports empty_input_sweep from any cwd
+# (round-13 advisor: the old per-fixture cwd-relative "scripts" insert
+# only worked when pytest launched from the repo root)
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
 
 from bigdata_spark_realtime_spark.plans import registry
 
@@ -53,11 +66,8 @@ EMPTY_PINNED = [
 @pytest.fixture(scope="module")
 def empty_env(spark, tmp_path_factory):
     """Zero-row tables dir + DuckDB views over the same files."""
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_empty_tables
 
     d = str(tmp_path_factory.mktemp("empty_sf"))
@@ -98,11 +108,8 @@ ONE_ROW_PINNED = [
 
 @pytest.fixture(scope="module")
 def one_row_env(spark, tmp_path_factory):
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_empty_tables
 
     d = str(tmp_path_factory.mktemp("onerow_sf"))
@@ -144,11 +151,8 @@ CLONED_PINNED = [
 
 @pytest.fixture(scope="module")
 def cloned_env(spark, tmp_path_factory):
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_empty_tables
 
     d = str(tmp_path_factory.mktemp("cloned_sf"))
@@ -199,11 +203,8 @@ NULLED_PINNED = [
 
 @pytest.fixture(scope="module")
 def nulled_env(spark, tmp_path_factory):
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_nulled_tables
 
     d = str(tmp_path_factory.mktemp("nulled_sf"))
@@ -243,11 +244,8 @@ TEXT_EDGE_PINNED = [
 
 @pytest.fixture(scope="module")
 def text_edge_env(spark, tmp_path_factory):
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_text_edge_tables
 
     d = str(tmp_path_factory.mktemp("textedge_sf"))
@@ -284,11 +282,8 @@ REVERSED_PINNED = [
 
 @pytest.fixture(scope="module")
 def reversed_env(spark, tmp_path_factory):
-    import sys
-
     import duckdb
 
-    sys.path.insert(0, "scripts")
     from empty_input_sweep import TABLES, materialize_reversed_tables
 
     d = str(tmp_path_factory.mktemp("reversed_sf"))
