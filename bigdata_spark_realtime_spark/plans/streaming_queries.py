@@ -90,11 +90,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     added ``event_time`` TimestampType column normalized from whatever
     physical ``ts`` type this testdata vintage has (timestamp[us],
     TIMESTAMP(NANOS), or raw int64 nanos — see
-    :func:`sources.tables.events_ts_kind`). The file-stream source
-    requires a directory, so the single parquet file is exposed through
-    a symlinked dir."""
-    import hashlib
-
+    :func:`sources.tables.events_ts_kind`). Replay goes through the
+    layout-robust :func:`sources.replay.file_replay_stream` — a
+    Spark-WRITTEN events table is a directory of part files, and the
+    old single-symlink device yielded a silently EMPTY stream on it."""
+    from bigdata_spark_realtime_spark.sources.replay import file_replay_stream
     from bigdata_spark_realtime_spark.sources.tables import (
         events_ts_kind,
         ts_to_timestamp_expr,
@@ -104,21 +104,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = events_ts_kind(path)
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # keyed by the full source path, not just the sf-dir basename — two
-    # datasets sharing a basename must not reuse each other's symlink
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_events_{hashlib.md5(path.encode()).hexdigest()[:12]}",
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("event_time", ts_to_timestamp_expr(kind))
+    return file_replay_stream(spark, path).withColumn(
+        "event_time", ts_to_timestamp_expr(kind)
     )
 
 
@@ -151,6 +138,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from bigdata_spark_realtime_spark.sources.replay import (
+        first_data_file,
+        link_data_files,
+    )
     from bigdata_spark_realtime_spark.sources.tables import (
         events_ts_kind,
         ts_to_timestamp_expr,
@@ -164,23 +155,24 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key the fixture dir by source identity AND content stamp: the
     # sentinel's ts depends on the data's max ts, so a regenerated
     # dataset must get a fresh sentinel, not a stale one that would
-    # leave real windows below the watermark
-    stat = os.stat(src)
+    # leave real windows below the watermark (stamp the first data file
+    # for directory tables — a rewrite replaces its part files)
+    stat = os.stat(first_data_file(src))
     stamp = f"{src}|{stat.st_mtime_ns}|{stat.st_size}"
     stream_dir = os.path.join(
         tempfile.gettempdir(),
         f"bsr_events_flush_{hashlib.md5(stamp.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "a_events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # the a_ prefix keeps every data file lexicographically before the
+    # zz_ sentinel, so the sentinel's micro-batch arrives last
+    link_data_files(src, stream_dir, prefix="a_")
     sentinel = os.path.join(stream_dir, "zz_flush.parquet")
     if not os.path.exists(sentinel):
         # the sentinel must carry the SAME physical schema as the source
         # file (the file-stream source reads both under one schema), so
         # build it from the source footer: max(ts)+10y in ts's own type
-        src_schema = pq.read_schema(src)
+        src_schema = pq.read_schema(first_data_file(src))
         max_ts = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
         int_vintage = pa.types.is_integer(src_schema.field("ts").type)
         if max_ts is None:
@@ -229,9 +221,17 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.write_table(
             pa.Table.from_arrays(cols, schema=src_schema), sentinel
         )
+    # Every data file must land in ONE micro-batch, with only the
+    # sentinel in the next: with maxFilesPerTrigger=1 and a multi-file
+    # (Spark-written) table, the watermark advances between data files
+    # and rows later than watermark-delay behind the max seen so far are
+    # silently DROPPED by the streaming agg (measured: 386/477 windows
+    # on a 3-part replica). The file source orders by modification time,
+    # so the freshly-written sentinel always sorts after the linked data.
+    n_data = sum(1 for f in os.listdir(stream_dir) if f.startswith("a_"))
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max(n_data, 1))
         .parquet(stream_dir)
         .withColumn("event_time", ts_to_timestamp_expr(kind))
         .withWatermark("event_time", "1 hour")
@@ -661,40 +661,25 @@ def stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the documents table as a file-source stream (the file
-    source needs a directory, so the single parquet file is exposed
-    through a symlinked dir keyed by its full source path)."""
-    import hashlib
+    """Replay the documents table as a file-source stream via the
+    layout-robust :func:`sources.replay.file_replay_stream` (handles
+    both the single-file driver testdata and Spark-written directory
+    tables)."""
+    from bigdata_spark_realtime_spark.sources.replay import file_replay_stream
 
-    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    schema = spark.read.parquet(path).schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_docs_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+    return file_replay_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
     )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    return spark.readStream.schema(schema).parquet(stream_dir)
 
 
 def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the embeddings table as a file-source stream (same
-    symlinked-dir device as :func:`_docs_stream`)."""
-    import hashlib
+    layout-robust device as :func:`_docs_stream`)."""
+    from bigdata_spark_realtime_spark.sources.replay import file_replay_stream
 
-    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    schema = spark.read.parquet(path).schema
-    stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_emb_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+    return file_replay_stream(
+        spark, os.path.join(sf_dir, "embeddings.parquet")
     )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    return spark.readStream.schema(schema).parquet(stream_dir)
 
 
 def _stream_decontam_oracle() -> str:

@@ -29,6 +29,37 @@ def _is_data_file(name: str) -> bool:
     return not name.startswith(("_", ".")) and name.endswith(".parquet")
 
 
+def first_data_file(path: str) -> str:
+    """The path itself for a single-file table, else the first data file
+    of a Spark-written directory table — for footer-only reads
+    (pq.read_schema and friends reject directories)."""
+    if not os.path.isdir(path):
+        return path
+    for f in sorted(os.listdir(path)):
+        if _is_data_file(f):
+            return os.path.join(path, f)
+    raise FileNotFoundError(f"no parquet data files under {path}")
+
+
+def link_data_files(src: str, dest_dir: str, prefix: str = "") -> None:
+    """Symlink a parquet table (single file OR Spark-written directory)
+    into ``dest_dir`` for the file-stream source, one link per data
+    file, skipping ``_SUCCESS``/hidden entries. ``prefix`` controls
+    lexicographic arrival order against other files in the same dir
+    (e.g. a ``zz_``-named flush sentinel must sort last). Idempotent."""
+    src = os.path.abspath(src)
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if _is_data_file(f):
+                link = os.path.join(dest_dir, prefix + f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(dest_dir, prefix + os.path.basename(src))
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+
 def file_replay_stream(
     spark: SparkSession,
     table_path: str,
@@ -46,14 +77,5 @@ def file_replay_stream(
         f"bsr_replay_{hashlib.md5(path.encode()).hexdigest()[:12]}",
     )
     os.makedirs(stream_dir, exist_ok=True)
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            if _is_data_file(f):
-                link = os.path.join(stream_dir, f)
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(path, f), link)
-    else:
-        link = os.path.join(stream_dir, os.path.basename(path))
-        if not os.path.exists(link):
-            os.symlink(path, link)
+    link_data_files(path, stream_dir)
     return spark.readStream.schema(schema).parquet(stream_dir)

@@ -107,7 +107,9 @@ def events_ts_kind(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(path).field("ts").type
+    from bigdata_spark_realtime_spark.sources.replay import first_data_file
+
+    t = pq.read_schema(first_data_file(path)).field("ts").type
     if pa.types.is_timestamp(t):
         return "nanos" if t.unit == "ns" else "timestamp"
     if pa.types.is_integer(t):
