@@ -197,22 +197,44 @@ class BodyHasher:
             closure[(mod, name)] = ast.unparse(
                 self._strip_docstrings(copy.deepcopy(node))
             )
+            # function-LEVEL imports (the dominant style in plan
+            # modules) overlay the module map for this node's
+            # references — without this, helpers imported inside the
+            # query body would be invisible to the hash
+            local = dict(imports)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.ImportFrom):
+                    base = sub.module or ""
+                    if sub.level:
+                        parts = mod.split(".")[: -sub.level]
+                        base = ".".join(
+                            parts + ([sub.module] if sub.module else [])
+                        )
+                    for a in sub.names:
+                        if a.name != "*":
+                            local[a.asname or a.name] = ("from", base, a.name)
+                elif isinstance(sub, ast.Import):
+                    for a in sub.names:
+                        local[a.asname or a.name.split(".")[0]] = (
+                            "mod",
+                            a.name,
+                        )
             # walk references: bare names + one-level module attributes
             for sub in ast.walk(node):
                 if isinstance(sub, ast.Name):
                     nid = sub.id
                     if nid in symbols and (mod, nid) not in closure:
                         work.append((mod, nid))
-                    elif nid in imports:
-                        kind, base, *rest = imports[nid]
+                    elif nid in local:
+                        kind, base, *rest = local[nid]
                         if kind == "from" and base.startswith(PKG):
                             work.append((base, rest[0]))
                 elif isinstance(sub, ast.Attribute) and isinstance(
                     sub.value, ast.Name
                 ):
                     nid = sub.value.id
-                    if nid in imports:
-                        kind, base, *rest = imports[nid]
+                    if nid in local:
+                        kind, base, *rest = local[nid]
                         if kind == "mod" and base.startswith(PKG):
                             work.append((base, sub.attr))
                         elif kind == "from" and base.startswith(PKG):

@@ -186,3 +186,30 @@ def test_body_audit_on_real_repo_subsets_module_audit():
     assert set(drifted) <= set(module_flags)
     assert set(unresolved) <= set(module_flags)
     assert not (set(drifted) & set(unresolved))
+
+
+def test_body_hash_follows_function_level_imports():
+    """Plan modules mostly import helpers INSIDE the query function;
+    those must be part of the effective body too."""
+    files = {
+        "bigdata_spark_realtime_spark/plans/mymod.py": '''
+def myquery(spark, sf_dir):
+    from bigdata_spark_realtime_spark.plans.helpers import shared_scale
+    return shared_scale(spark, 2)
+''',
+        "bigdata_spark_realtime_spark/plans/helpers.py": _BASE_FILES[
+            "bigdata_spark_realtime_spark/plans/helpers.py"
+        ],
+    }
+    base = _hash(files)
+    assert base is not None
+    edited = dict(files)
+    edited["bigdata_spark_realtime_spark/plans/helpers.py"] = files[
+        "bigdata_spark_realtime_spark/plans/helpers.py"
+    ].replace("k * 10", "k * 12")
+    assert _hash(edited) != base
+    # docstring-only helper edit still clears
+    edited["bigdata_spark_realtime_spark/plans/helpers.py"] = files[
+        "bigdata_spark_realtime_spark/plans/helpers.py"
+    ].replace("Helper docstring.", "Other prose.")
+    assert _hash(edited) == base
