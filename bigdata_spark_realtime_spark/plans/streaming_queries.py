@@ -271,146 +271,6 @@ def stream_dedup_dau_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(deduped, spark)
 
 
-#: the drained stream-stream join is batch-equivalent (SURVEY §5.2): the
-#: watermark range condition is exactly a ±24 h event-time band, so a
-#: DuckDB range join over the same fixture files is a full oracle
-STREAM_WIDE_ORACLE = f"""
-WITH i AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
-                          format='newline_delimited', columns={_ORDER_INFO_COLS})
-),
-d AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
-                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
-),
-u AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/dims/user_info/*.jsonl',
-        format='newline_delimited',
-        columns={{'id': 'BIGINT', 'gender': 'VARCHAR', 'birthday': 'VARCHAR'}})
-),
-p AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/dims/base_province/*.jsonl',
-        format='newline_delimited',
-        columns={{'id': 'BIGINT', 'name': 'VARCHAR', 'iso_code': 'VARCHAR',
-                  'iso_3166_2': 'VARCHAR', 'area_code': 'VARCHAR'}})
-),
-ie AS (
-  SELECT i.*,
-         split_part(i.create_time, ' ', 1) AS create_date,
-         split_part(split_part(i.create_time, ' ', 2), ':', 1) AS create_hour,
-         u.gender AS user_gender,
-         {fns.age_years_sql("CAST(u.birthday AS DATE)",
-                            "CAST(split_part(i.create_time, ' ', 1) AS DATE)")} AS user_age,
-         p.name AS province_name, p.iso_code AS province_iso_code,
-         p.iso_3166_2 AS province_3166_2, p.area_code AS province_area_code
-  FROM i LEFT JOIN u ON i.user_id = u.id LEFT JOIN p ON i.province_id = p.id
-)
-SELECT ie.id AS order_id, d.id AS detail_id, ie.province_id, ie.order_status,
-       ie.user_id, ie.total_amount, ie.activity_reduce_amount,
-       ie.coupon_reduce_amount, ie.original_total_amount, ie.feight_fee,
-       d.sku_id, d.order_price, d.sku_num, d.sku_name, d.create_time,
-       d.split_total_amount, d.split_activity_amount, d.split_coupon_amount,
-       ie.create_date, ie.create_hour, ie.user_gender, ie.user_age,
-       ie.province_name, ie.province_iso_code, ie.province_3166_2,
-       ie.province_area_code
-FROM d JOIN ie ON d.order_id = ie.id
-   AND d.event_ts BETWEEN ie.event_ts - {_TTL_MS} AND ie.event_ts + {_TTL_MS}
-"""
-
-
-def _order_fixtures(spark: SparkSession):
-    """Load the shared order-stream fixtures + dims (generated by
-    :func:`ensure_fixtures` at import)."""
-    from bigdata_spark_realtime_spark import schemas as S
-
-    base = ensure_fixtures()
-    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
-        os.path.join(base, "dims", "user_info")
-    )
-    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
-        os.path.join(base, "dims", "base_province")
-    )
-    return base, dim_user, dim_prov
-
-
-@register("stream_order_wide_join", oracle=STREAM_WIDE_ORACLE)
-def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4/J5 as a real streaming op: Group-2 order streams (generated
-    fixtures — the driver tables have no dual-stream shape) joined
-    stream-stream with 24 h TTL watermarks, checked against a DuckDB
-    range-join oracle over the drained sink's input files."""
-    from pyspark.sql import types as T
-
-    from bigdata_spark_realtime_spark import schemas as S
-    from bigdata_spark_realtime_spark.streaming.order import (
-        enrich_order_info,
-        order_wide_join,
-    )
-
-    base, dim_user, dim_prov = _order_fixtures(spark)
-    info_schema = T.StructType(
-        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
-    )
-    det_schema = T.StructType(
-        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
-    )
-    info = spark.readStream.schema(info_schema).json(
-        os.path.join(base, "orders", "order_info")
-    )
-    det = spark.readStream.schema(det_schema).json(
-        os.path.join(base, "orders", "order_detail")
-    )
-    wide = order_wide_join(
-        enrich_order_info(info, dim_user, dim_prov), det, streaming=True
-    )
-    return _drain_to_memory(wide, spark)
-
-
-#: per-branch row counts of the 1→5 multiplex are a full oracle for the
-#: split's routing predicates (branch membership is order-independent)
-STREAM_SPLIT_ORACLE = f"""
-WITH raw AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/raw_log/*.jsonl',
-        format='newline_delimited',
-        columns={{'err': 'JSON', 'page': 'JSON', 'displays': 'JSON[]',
-                  'actions': 'JSON[]', 'start': 'JSON'}})
-)
-SELECT 'err' AS branch, count(*)::BIGINT AS n FROM raw WHERE err IS NOT NULL
-UNION ALL
-SELECT 'page', count(*)::BIGINT FROM raw WHERE err IS NULL AND page IS NOT NULL
-UNION ALL
-SELECT 'display', coalesce(sum(len(displays)), 0)::BIGINT FROM raw
-WHERE err IS NULL AND page IS NOT NULL
-UNION ALL
-SELECT 'action', coalesce(sum(len(actions)), 0)::BIGINT FROM raw
-WHERE err IS NULL AND page IS NOT NULL
-UNION ALL
-SELECT 'start', count(*)::BIGINT FROM raw WHERE err IS NULL AND "start" IS NOT NULL
-"""
-
-
-@register("stream_base_log_split", oracle=STREAM_SPLIT_ORACLE)
-def stream_base_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 multiplex as a real streaming op over the generated raw-log
-    fixture: all five branches of the 1→5 split drained to sinks, gated
-    on per-branch row counts vs a DuckDB filtered-count oracle (the
-    split's routing predicates; exact branch contents are asserted in
-    tests/test_streaming_pipelines.py)."""
-    from functools import reduce
-
-    from bigdata_spark_realtime_spark.streaming.base_log import split_base_log
-
-    raw_dir = os.path.join(ensure_fixtures(), "raw_log")
-    raw = spark.readStream.format("text").load(raw_dir)
-    branches = split_base_log(raw)
-    counts = [
-        _drain_to_memory(df, spark)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit(name).alias("branch"), "n")
-        for name, df in branches.items()
-    ]
-    return reduce(DataFrame.unionByName, counts)
-
 
 # ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
@@ -464,157 +324,6 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic, oracle-checkable emitted set
     sessions = sessionize_stream(stream, watermark="3650 days")
     return _drain_to_memory(sessions, spark)
-
-
-#: reference semantics (`app/dwd_OrderApp.scala:166-224`): a detail with
-#: no header within the TTL was silently dropped; the outer-join upgrade
-#: emits it once. NOT EXISTS over the same ±24 h band is the full oracle
-#: (sentinel flush rows are excluded by detail_id > 0 on both sides).
-STREAM_ORPHANS_ORACLE = f"""
-WITH i AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
-                          format='newline_delimited', columns={_ORDER_INFO_COLS})
-),
-d AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
-                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
-)
-SELECT d.id AS detail_id, d.sku_name, d.split_total_amount
-FROM d
-WHERE d.id > 0 AND NOT EXISTS (
-  SELECT 1 FROM i
-  WHERE i.id = d.order_id
-    AND d.event_ts BETWEEN i.event_ts - {_TTL_MS} AND i.event_ts + {_TTL_MS}
-)
-"""
-
-
-@register("stream_order_outer_orphans", oracle=STREAM_ORPHANS_ORACLE)
-def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The left-outer stream-stream join's orphan channel as a real
-    streaming op: details with no header inside the ±24 h TTL emit
-    exactly once with null header columns after far-future sentinel
-    rows push the watermark past every real row's horizon (same
-    technique as the replay test). Gated against a DuckDB
-    NOT-EXISTS-within-TTL oracle over the same fixture files."""
-    import json as _json
-    import shutil
-
-    from pyspark.sql import types as T
-
-    from bigdata_spark_realtime_spark import schemas as S
-    from bigdata_spark_realtime_spark.streaming.order import (
-        enrich_order_info,
-        order_wide_join,
-    )
-
-    base, dim_user, dim_prov = _order_fixtures(spark)
-    work = os.path.join(base, "orders_outer")
-    if os.path.exists(work):
-        shutil.rmtree(work)
-    shutil.copytree(os.path.join(base, "orders"), work)
-
-    rows = []
-    for fn in os.listdir(os.path.join(work, "order_info")):
-        with open(os.path.join(work, "order_info", fn)) as f:
-            rows += [_json.loads(x) for x in f if x.strip()]
-    for fn in os.listdir(os.path.join(work, "order_detail")):
-        with open(os.path.join(work, "order_detail", fn)) as f:
-            rows += [_json.loads(x) for x in f if x.strip()]
-    max_ts = max(r["event_ts"] for r in rows)
-    for k, bump in ((1, 60), (2, 120)):
-        flush = max_ts + bump * 3600_000
-        with open(os.path.join(work, "order_info", f"zz_flush_{k}.json"), "w") as f:
-            f.write(_json.dumps({"id": -100 - k, "user_id": 1, "province_id": 1,
-                                 "create_time": "2030-01-01 00:00:00",
-                                 "event_ts": flush}) + "\n")
-        with open(os.path.join(work, "order_detail", f"zz_flush_{k}.json"), "w") as f:
-            f.write(_json.dumps({"id": -200 - k, "order_id": -999, "sku_id": 1,
-                                 "create_time": "2030-01-01 00:00:00",
-                                 "event_ts": flush}) + "\n")
-
-    info_schema = T.StructType(
-        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
-    )
-    det_schema = T.StructType(
-        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
-    )
-    info = spark.readStream.schema(info_schema).option("maxFilesPerTrigger", 2).json(
-        os.path.join(work, "order_info")
-    )
-    det = spark.readStream.schema(det_schema).option("maxFilesPerTrigger", 2).json(
-        os.path.join(work, "order_detail")
-    )
-    wide = order_wide_join(
-        enrich_order_info(info, dim_user, dim_prov), det,
-        streaming=True, how="left_outer",
-    )
-    drained = _drain_to_memory(wide, spark)
-    return (
-        drained.where(F.col("detail_id") > 0)
-        .where(F.col("order_id").isNull())
-        .select("detail_id", "sku_name", "split_total_amount")
-    )
-
-
-#: per-route counts over the drained CDC split are a full oracle for the
-#: envelope parse (T8 normalization) + set-membership routing (T9/K4/K6):
-#: route membership is arrival-order-independent
-STREAM_CDC_ORACLE = f"""
-WITH raw AS (
-  SELECT * FROM read_json('{FIXTURE_BASE}/cdc/*.jsonl',
-        format='newline_delimited',
-        columns={{'type': 'VARCHAR', 'table': 'VARCHAR', 'data': 'JSON'}})
-),
-norm AS (
-  SELECT CASE WHEN "type" = 'bootstrap-insert' THEN 'insert'
-              WHEN "type" IN ('insert', 'update', 'delete') THEN "type"
-         END AS op,
-         "table"
-  FROM raw
-  WHERE "type" IN ('bootstrap-insert', 'insert', 'update', 'delete')
-)
-SELECT 'DWD_' || upper("table") || '_' || upper(op) AS route,
-       count(*)::BIGINT AS n
-FROM norm WHERE "table" IN ('order_info', 'order_detail')
-GROUP BY 1
-UNION ALL
-SELECT 'DIM:' || upper("table") AS route, count(*)::BIGINT AS n
-FROM norm WHERE "table" IN ('user_info', 'base_province')
-GROUP BY 1
-"""
-
-
-@register("stream_cdc_routing", oracle=STREAM_CDC_ORACLE)
-def stream_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The base_db CDC pipeline as a real streaming op: Maxwell
-    envelopes replayed file-by-file → op normalization (T8) →
-    fact/dim set-membership routing (T9) with dynamic Kafka topics
-    (K4) and dim upsert keys (K6), both branches drained and reduced
-    to per-route counts against a DuckDB filtered-count oracle.
-    Garbage ops and unlisted tables must vanish, not crash."""
-    from bigdata_spark_realtime_spark.streaming.base_db import (
-        parse_cdc,
-        route_dims,
-        route_facts,
-    )
-
-    cdc_dir = os.path.join(ensure_fixtures(), "cdc")
-    raw = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 1)
-        .load(cdc_dir)
-    )
-    cdc = parse_cdc(raw)
-    facts = _drain_to_memory(route_facts(cdc), spark)
-    dims = _drain_to_memory(route_dims(cdc), spark)
-    fact_counts = facts.groupBy(F.col("topic").alias("route")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    dim_counts = dims.groupBy(
-        F.concat(F.lit("DIM:"), F.upper("table")).alias("route")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return fact_counts.unionByName(dim_counts)
 
 
 def _stream_sample_oracle() -> str:
@@ -1200,3 +909,307 @@ def stream_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(SKEW_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# fixture-replay twins (Group-2 order streams / base-log / CDC envelopes)
+# ---------------------------------------------------------------------------
+# Defined LAST so the module's registration order front-loads the
+# DRIFT-prone twins (those reading the sf tables through the shared
+# replay builders) into refresh windows; these four read generated
+# JSON fixtures whose bodies change rarely, so they take the tail
+# slots (R15 rotation planning, round 14).
+
+#: the drained stream-stream join is batch-equivalent (SURVEY §5.2): the
+#: watermark range condition is exactly a ±24 h event-time band, so a
+#: DuckDB range join over the same fixture files is a full oracle
+STREAM_WIDE_ORACLE = f"""
+WITH i AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_INFO_COLS})
+),
+d AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
+),
+u AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/dims/user_info/*.jsonl',
+        format='newline_delimited',
+        columns={{'id': 'BIGINT', 'gender': 'VARCHAR', 'birthday': 'VARCHAR'}})
+),
+p AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/dims/base_province/*.jsonl',
+        format='newline_delimited',
+        columns={{'id': 'BIGINT', 'name': 'VARCHAR', 'iso_code': 'VARCHAR',
+                  'iso_3166_2': 'VARCHAR', 'area_code': 'VARCHAR'}})
+),
+ie AS (
+  SELECT i.*,
+         split_part(i.create_time, ' ', 1) AS create_date,
+         split_part(split_part(i.create_time, ' ', 2), ':', 1) AS create_hour,
+         u.gender AS user_gender,
+         {fns.age_years_sql("CAST(u.birthday AS DATE)",
+                            "CAST(split_part(i.create_time, ' ', 1) AS DATE)")} AS user_age,
+         p.name AS province_name, p.iso_code AS province_iso_code,
+         p.iso_3166_2 AS province_3166_2, p.area_code AS province_area_code
+  FROM i LEFT JOIN u ON i.user_id = u.id LEFT JOIN p ON i.province_id = p.id
+)
+SELECT ie.id AS order_id, d.id AS detail_id, ie.province_id, ie.order_status,
+       ie.user_id, ie.total_amount, ie.activity_reduce_amount,
+       ie.coupon_reduce_amount, ie.original_total_amount, ie.feight_fee,
+       d.sku_id, d.order_price, d.sku_num, d.sku_name, d.create_time,
+       d.split_total_amount, d.split_activity_amount, d.split_coupon_amount,
+       ie.create_date, ie.create_hour, ie.user_gender, ie.user_age,
+       ie.province_name, ie.province_iso_code, ie.province_3166_2,
+       ie.province_area_code
+FROM d JOIN ie ON d.order_id = ie.id
+   AND d.event_ts BETWEEN ie.event_ts - {_TTL_MS} AND ie.event_ts + {_TTL_MS}
+"""
+
+
+def _order_fixtures(spark: SparkSession):
+    """Load the shared order-stream fixtures + dims (generated by
+    :func:`ensure_fixtures` at import)."""
+    from bigdata_spark_realtime_spark import schemas as S
+
+    base = ensure_fixtures()
+    dim_user = spark.read.schema(S.DIM_USER_SCHEMA).json(
+        os.path.join(base, "dims", "user_info")
+    )
+    dim_prov = spark.read.schema(S.DIM_PROVINCE_SCHEMA).json(
+        os.path.join(base, "dims", "base_province")
+    )
+    return base, dim_user, dim_prov
+
+
+@register("stream_order_wide_join", oracle=STREAM_WIDE_ORACLE)
+def stream_order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 as a real streaming op: Group-2 order streams (generated
+    fixtures — the driver tables have no dual-stream shape) joined
+    stream-stream with 24 h TTL watermarks, checked against a DuckDB
+    range-join oracle over the drained sink's input files."""
+    from pyspark.sql import types as T
+
+    from bigdata_spark_realtime_spark import schemas as S
+    from bigdata_spark_realtime_spark.streaming.order import (
+        enrich_order_info,
+        order_wide_join,
+    )
+
+    base, dim_user, dim_prov = _order_fixtures(spark)
+    info_schema = T.StructType(
+        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    det_schema = T.StructType(
+        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    info = spark.readStream.schema(info_schema).json(
+        os.path.join(base, "orders", "order_info")
+    )
+    det = spark.readStream.schema(det_schema).json(
+        os.path.join(base, "orders", "order_detail")
+    )
+    wide = order_wide_join(
+        enrich_order_info(info, dim_user, dim_prov), det, streaming=True
+    )
+    return _drain_to_memory(wide, spark)
+
+
+#: per-branch row counts of the 1→5 multiplex are a full oracle for the
+#: split's routing predicates (branch membership is order-independent)
+STREAM_SPLIT_ORACLE = f"""
+WITH raw AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/raw_log/*.jsonl',
+        format='newline_delimited',
+        columns={{'err': 'JSON', 'page': 'JSON', 'displays': 'JSON[]',
+                  'actions': 'JSON[]', 'start': 'JSON'}})
+)
+SELECT 'err' AS branch, count(*)::BIGINT AS n FROM raw WHERE err IS NOT NULL
+UNION ALL
+SELECT 'page', count(*)::BIGINT FROM raw WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'display', coalesce(sum(len(displays)), 0)::BIGINT FROM raw
+WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'action', coalesce(sum(len(actions)), 0)::BIGINT FROM raw
+WHERE err IS NULL AND page IS NOT NULL
+UNION ALL
+SELECT 'start', count(*)::BIGINT FROM raw WHERE err IS NULL AND "start" IS NOT NULL
+"""
+
+
+@register("stream_base_log_split", oracle=STREAM_SPLIT_ORACLE)
+def stream_base_log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 multiplex as a real streaming op over the generated raw-log
+    fixture: all five branches of the 1→5 split drained to sinks, gated
+    on per-branch row counts vs a DuckDB filtered-count oracle (the
+    split's routing predicates; exact branch contents are asserted in
+    tests/test_streaming_pipelines.py)."""
+    from functools import reduce
+
+    from bigdata_spark_realtime_spark.streaming.base_log import split_base_log
+
+    raw_dir = os.path.join(ensure_fixtures(), "raw_log")
+    raw = spark.readStream.format("text").load(raw_dir)
+    branches = split_base_log(raw)
+    counts = [
+        _drain_to_memory(df, spark)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(name).alias("branch"), "n")
+        for name, df in branches.items()
+    ]
+    return reduce(DataFrame.unionByName, counts)
+
+
+
+#: reference semantics (`app/dwd_OrderApp.scala:166-224`): a detail with
+#: no header within the TTL was silently dropped; the outer-join upgrade
+#: emits it once. NOT EXISTS over the same ±24 h band is the full oracle
+#: (sentinel flush rows are excluded by detail_id > 0 on both sides).
+STREAM_ORPHANS_ORACLE = f"""
+WITH i AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_info/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_INFO_COLS})
+),
+d AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/orders/order_detail/*.jsonl',
+                          format='newline_delimited', columns={_ORDER_DETAIL_COLS})
+)
+SELECT d.id AS detail_id, d.sku_name, d.split_total_amount
+FROM d
+WHERE d.id > 0 AND NOT EXISTS (
+  SELECT 1 FROM i
+  WHERE i.id = d.order_id
+    AND d.event_ts BETWEEN i.event_ts - {_TTL_MS} AND i.event_ts + {_TTL_MS}
+)
+"""
+
+
+@register("stream_order_outer_orphans", oracle=STREAM_ORPHANS_ORACLE)
+def stream_order_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The left-outer stream-stream join's orphan channel as a real
+    streaming op: details with no header inside the ±24 h TTL emit
+    exactly once with null header columns after far-future sentinel
+    rows push the watermark past every real row's horizon (same
+    technique as the replay test). Gated against a DuckDB
+    NOT-EXISTS-within-TTL oracle over the same fixture files."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from bigdata_spark_realtime_spark import schemas as S
+    from bigdata_spark_realtime_spark.streaming.order import (
+        enrich_order_info,
+        order_wide_join,
+    )
+
+    base, dim_user, dim_prov = _order_fixtures(spark)
+    work = os.path.join(base, "orders_outer")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(os.path.join(base, "orders"), work)
+
+    rows = []
+    for fn in os.listdir(os.path.join(work, "order_info")):
+        with open(os.path.join(work, "order_info", fn)) as f:
+            rows += [_json.loads(x) for x in f if x.strip()]
+    for fn in os.listdir(os.path.join(work, "order_detail")):
+        with open(os.path.join(work, "order_detail", fn)) as f:
+            rows += [_json.loads(x) for x in f if x.strip()]
+    max_ts = max(r["event_ts"] for r in rows)
+    for k, bump in ((1, 60), (2, 120)):
+        flush = max_ts + bump * 3600_000
+        with open(os.path.join(work, "order_info", f"zz_flush_{k}.json"), "w") as f:
+            f.write(_json.dumps({"id": -100 - k, "user_id": 1, "province_id": 1,
+                                 "create_time": "2030-01-01 00:00:00",
+                                 "event_ts": flush}) + "\n")
+        with open(os.path.join(work, "order_detail", f"zz_flush_{k}.json"), "w") as f:
+            f.write(_json.dumps({"id": -200 - k, "order_id": -999, "sku_id": 1,
+                                 "create_time": "2030-01-01 00:00:00",
+                                 "event_ts": flush}) + "\n")
+
+    info_schema = T.StructType(
+        S.ORDER_INFO_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    det_schema = T.StructType(
+        S.ORDER_DETAIL_SCHEMA.fields + [T.StructField("event_ts", T.LongType())]
+    )
+    info = spark.readStream.schema(info_schema).option("maxFilesPerTrigger", 2).json(
+        os.path.join(work, "order_info")
+    )
+    det = spark.readStream.schema(det_schema).option("maxFilesPerTrigger", 2).json(
+        os.path.join(work, "order_detail")
+    )
+    wide = order_wide_join(
+        enrich_order_info(info, dim_user, dim_prov), det,
+        streaming=True, how="left_outer",
+    )
+    drained = _drain_to_memory(wide, spark)
+    return (
+        drained.where(F.col("detail_id") > 0)
+        .where(F.col("order_id").isNull())
+        .select("detail_id", "sku_name", "split_total_amount")
+    )
+
+
+#: per-route counts over the drained CDC split are a full oracle for the
+#: envelope parse (T8 normalization) + set-membership routing (T9/K4/K6):
+#: route membership is arrival-order-independent
+STREAM_CDC_ORACLE = f"""
+WITH raw AS (
+  SELECT * FROM read_json('{FIXTURE_BASE}/cdc/*.jsonl',
+        format='newline_delimited',
+        columns={{'type': 'VARCHAR', 'table': 'VARCHAR', 'data': 'JSON'}})
+),
+norm AS (
+  SELECT CASE WHEN "type" = 'bootstrap-insert' THEN 'insert'
+              WHEN "type" IN ('insert', 'update', 'delete') THEN "type"
+         END AS op,
+         "table"
+  FROM raw
+  WHERE "type" IN ('bootstrap-insert', 'insert', 'update', 'delete')
+)
+SELECT 'DWD_' || upper("table") || '_' || upper(op) AS route,
+       count(*)::BIGINT AS n
+FROM norm WHERE "table" IN ('order_info', 'order_detail')
+GROUP BY 1
+UNION ALL
+SELECT 'DIM:' || upper("table") AS route, count(*)::BIGINT AS n
+FROM norm WHERE "table" IN ('user_info', 'base_province')
+GROUP BY 1
+"""
+
+
+@register("stream_cdc_routing", oracle=STREAM_CDC_ORACLE)
+def stream_cdc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base_db CDC pipeline as a real streaming op: Maxwell
+    envelopes replayed file-by-file → op normalization (T8) →
+    fact/dim set-membership routing (T9) with dynamic Kafka topics
+    (K4) and dim upsert keys (K6), both branches drained and reduced
+    to per-route counts against a DuckDB filtered-count oracle.
+    Garbage ops and unlisted tables must vanish, not crash."""
+    from bigdata_spark_realtime_spark.streaming.base_db import (
+        parse_cdc,
+        route_dims,
+        route_facts,
+    )
+
+    cdc_dir = os.path.join(ensure_fixtures(), "cdc")
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(cdc_dir)
+    )
+    cdc = parse_cdc(raw)
+    facts = _drain_to_memory(route_facts(cdc), spark)
+    dims = _drain_to_memory(route_dims(cdc), spark)
+    fact_counts = facts.groupBy(F.col("topic").alias("route")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dim_counts = dims.groupBy(
+        F.concat(F.lit("DIM:"), F.upper("table")).alias("route")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return fact_counts.unionByName(dim_counts)
+
+
