@@ -58,6 +58,27 @@ tokenizer/shingle/quality-ratio edges (zero-length division, zero
 shingles, unicode length vs byte length) that generator prose can
 never produce.
 
+`SPARK_GRAFT_BOUNDARY_UNICODE=1` runs at FULL sf0.001 with adversarial
+unicode woven into the document text (and a rotating subset of `lang`
+values): NFC and NFD spellings of the same word on ADJACENT rows,
+combining-mark stacks, astral-plane (surrogate-pair) emoji and CJK,
+bidi controls and zero-width joiners. This is the cross-engine
+collation/length/normalization trap the text-edges mode only grazed
+with one BMP char: code-point vs byte vs UTF-16-unit lengths, regex
+tokenization over non-Latin scripts, group-key equality of
+canonically-equal-but-byte-different strings (both engines must treat
+NFC ≠ NFD — byte semantics — for the hash gate to hold).
+
+`SPARK_GRAFT_BOUNDARY_DUPES=1` runs at FULL sf0.001 with every 5th
+events row APPENDED AGAIN VERBATIM (same event_id — an at-least-once
+replay / CDC double-fire, the 100 TB ingestion norm). events is the
+one table whose contract does not guarantee key uniqueness
+(`tests/test_table_contracts.py`); dimension/document tables keep
+their unique-key contracts and copy through untouched. Every query
+must be a deterministic function of the (multi)set both engines read:
+dedup operators must collapse the replays, count-based ones must count
+them, and neither may crash on the tie.
+
 Expected legitimate divergence classes (report-and-adjudicate, not
 auto-fail): none known at time of writing — ungrouped aggregates
 return one all-NULL/0 row in BOTH engines, grouped ones return zero
@@ -80,6 +101,8 @@ BOUNDARY_CLONES = int(os.environ.get("SPARK_GRAFT_BOUNDARY_CLONES", "1"))
 BOUNDARY_NULLS = os.environ.get("SPARK_GRAFT_BOUNDARY_NULLS", "") == "1"
 BOUNDARY_TEXT = os.environ.get("SPARK_GRAFT_BOUNDARY_TEXT", "") == "1"
 BOUNDARY_REVERSE = os.environ.get("SPARK_GRAFT_BOUNDARY_REVERSE", "") == "1"
+BOUNDARY_UNICODE = os.environ.get("SPARK_GRAFT_BOUNDARY_UNICODE", "") == "1"
+BOUNDARY_DUPES = os.environ.get("SPARK_GRAFT_BOUNDARY_DUPES", "") == "1"
 
 #: optional attribute columns NULLed (every 3rd row) under the nulls
 #: boundary. Deliberately excluded: primary/foreign keys (contract),
@@ -195,6 +218,72 @@ def materialize_text_edge_tables(dest: str) -> None:
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
 
 
+#: adversarial unicode payloads, cycled by row position. Pairs of
+#: canonically-equal-but-byte-different spellings sit on ADJACENT rows
+#: (NFC then NFD) so group-key equality, dedup shingles, and length
+#: functions all see the trap; the rest cover combining-mark stacks,
+#: astral-plane (surrogate-pair) code points, CJK (no-whitespace
+#: tokenization), and bidi/zero-width controls inside words.
+_UNICODE_EDGES = [
+    "café résumé naïve",            # NFC
+    "café résumé naïve",        # NFD of the same
+    "á̂̃̄ combining stack end",    # mark pile-up
+    "\U0001f680 \U0001d54a\U0001d552\U0001d55b astral", # emoji + math bold
+    "日本語の文書 cjk text",    # CJK, no spaces
+    "zero​width‍joined⁠words",           # ZWSP/ZWJ/WJ
+    "bidi ‮REVERSED‬ tail",                   # RTL override
+]
+
+
+def materialize_unicode_tables(dest: str) -> None:
+    """Full sf copy with adversarial unicode woven into documents.text
+    (every 3rd row gets an edge payload APPENDED to its prose, keeping
+    real tokens present) and, on every 11th row, a zero-width-suffixed
+    `lang` value (same visible text, different bytes — a group key that
+    must NOT merge with its clean twin under byte semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        if t == "documents":
+            i = table.schema.get_field_index("text")
+            field = table.schema.field("text")
+            vals = table.column("text").to_pylist()
+            vals = [
+                (v or "") + " " + _UNICODE_EDGES[(r // 3) % len(_UNICODE_EDGES)]
+                if r % 3 == 0
+                else v
+                for r, v in enumerate(vals)
+            ]
+            table = table.set_column(i, field, pa.array(vals, field.type))
+            li = table.schema.get_field_index("lang")
+            lf = table.schema.field("lang")
+            langs = table.column("lang").to_pylist()
+            langs = [
+                (v + "\u200b") if (v is not None and r % 11 == 0) else v
+                for r, v in enumerate(langs)
+            ]
+            table = table.set_column(li, lf, pa.array(langs, lf.type))
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
+def materialize_duped_tables(dest: str) -> None:
+    """Full sf copy with every 5th events row appended AGAIN verbatim
+    (same event_id): the at-least-once replay / CDC double-fire shape.
+    All other tables keep their unique-key contracts and copy through
+    untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        if t == "events":
+            replay = table.take(list(range(0, len(table), 5)))
+            table = pa.concat_tables([table, replay])
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
 def materialize_reversed_tables(dest: str) -> None:
     """Full sf copy with the physical row order reversed — a query
     whose answer changes is arrival-order-dependent, i.e. broken."""
@@ -221,7 +310,11 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    if BOUNDARY_REVERSE:
+    if BOUNDARY_UNICODE:
+        materialize_unicode_tables(empty_dir)
+    elif BOUNDARY_DUPES:
+        materialize_duped_tables(empty_dir)
+    elif BOUNDARY_REVERSE:
         materialize_reversed_tables(empty_dir)
     elif BOUNDARY_TEXT:
         materialize_text_edge_tables(empty_dir)
@@ -267,7 +360,9 @@ def main() -> int:
     print(
         f"boundary swept {len(names)} queries "
         f"({len(oracles)} oracled) at "
-        + ("FULL sf, row order reversed" if BOUNDARY_REVERSE
+        + ("FULL sf, adversarial unicode" if BOUNDARY_UNICODE
+           else "FULL sf, events replayed (dupe keys)" if BOUNDARY_DUPES
+           else "FULL sf, row order reversed" if BOUNDARY_REVERSE
            else "FULL sf, text-edges" if BOUNDARY_TEXT
            else "FULL sf, nulls-injected" if BOUNDARY_NULLS
            else f"{BOUNDARY_ROWS} rows/table x{BOUNDARY_CLONES} clones")
@@ -277,7 +372,9 @@ def main() -> int:
         print(f"PROBLEM {name}: {why}")
     if not problems:
         print(
-            "ALL CLEAN WITH ROW ORDER REVERSED" if BOUNDARY_REVERSE
+            "ALL CLEAN WITH ADVERSARIAL UNICODE" if BOUNDARY_UNICODE
+            else "ALL CLEAN WITH DUPLICATED EVENT KEYS" if BOUNDARY_DUPES
+            else "ALL CLEAN WITH ROW ORDER REVERSED" if BOUNDARY_REVERSE
             else "ALL CLEAN WITH TEXT EDGES" if BOUNDARY_TEXT
             else "ALL CLEAN WITH NULLS INJECTED" if BOUNDARY_NULLS
             else f"ALL CLEAN AT {BOUNDARY_ROWS} ROWS/TABLE x{BOUNDARY_CLONES} CLONES"

@@ -319,3 +319,83 @@ def test_constant_content_dedup_forms_one_cluster_of_k(spark, cloned_env):
     assert row["cluster_size"] == 50
     assert row["n_clusters"] == 1
     assert row["n_removed"] == 49
+
+
+# adversarial-unicode boundary (BOUNDARY_UNICODE=1): NFC-vs-NFD twins
+# on adjacent rows, combining stacks, astral-plane chars, CJK,
+# bidi/zero-width controls — the cross-engine collation/length traps.
+# Pins keep the most exposed families (tokenization, shingling,
+# quality ratios, lang grouping) exercised in-suite.
+UNICODE_PINNED = [
+    "ext_text_token_stats",
+    "ext_text_lang_id",
+    "ext_dedup_minhash_lsh",
+    "ext_text_quality_score",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_env(spark, tmp_path_factory):
+    import duckdb
+
+    from empty_input_sweep import TABLES, materialize_unicode_tables
+
+    d = str(tmp_path_factory.mktemp("unicode_sf"))
+    materialize_unicode_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_PINNED)
+def test_runs_and_matches_oracle_on_adversarial_unicode(
+    spark, unicode_env, name
+):
+    from oracle_util import assert_matches_oracle
+
+    d, con = unicode_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
+
+
+# duplicate-key boundary (BOUNDARY_DUPES=1): every 5th events row
+# replayed verbatim — at-least-once ingestion. Pins keep the dedup
+# state machines and a counting aggregate exercised in-suite.
+DUPES_PINNED = [
+    "d1_first_seen_dedup",
+    "d3_last_write_wins",
+    "a2_hourly_counts_topk",
+    "stream_dedup_dau_keys",
+]
+
+
+@pytest.fixture(scope="module")
+def duped_env(spark, tmp_path_factory):
+    import duckdb
+
+    from empty_input_sweep import TABLES, materialize_duped_tables
+
+    d = str(tmp_path_factory.mktemp("duped_sf"))
+    materialize_duped_tables(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    yield d, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DUPES_PINNED)
+def test_runs_and_matches_oracle_on_replayed_events(spark, duped_env, name):
+    from oracle_util import assert_matches_oracle
+
+    d, con = duped_env
+    fn = registry.all_queries()[name]
+    sql = registry.all_oracles()[name]
+    assert_matches_oracle(fn(spark, d), con, sql)
