@@ -155,6 +155,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     ``every_n_bytes`` window of the payload (a real implementation would
     seek keyframes via ffmpeg). Demonstrates the 1→N mapInPandas shape."""
 
+    import base64
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_idx, out_ck = [], [], []
@@ -162,9 +164,19 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
                 n_frames = max(1, len(payload) // every_n_bytes)
                 for i in range(n_frames):
                     window = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    # checksum over the window's BASE64 text, not the raw
+                    # bytes: defined for arbitrary binary AND exactly
+                    # expressible by a SQL oracle (DuckDB 1.0 can slice
+                    # and md5 VARCHARs but not BLOBs; with a 3-byte-
+                    # aligned window the base64 of the full payload
+                    # slices into per-window groups) — the round-14
+                    # adversarial-unicode sweep caught the old
+                    # raw-byte-vs-VARCHAR-substring divergence
                     out_ids.append(mid)
                     out_idx.append(i)
-                    out_ck.append(hashlib.md5(window).hexdigest())
+                    out_ck.append(
+                        hashlib.md5(base64.b64encode(bytes(window))).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out_ids, dtype="int64"),

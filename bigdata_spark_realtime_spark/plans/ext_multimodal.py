@@ -107,21 +107,26 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features_projected(media)
 
 
-#: frame-sampling window for the documents-as-media replay (bytes)
-FRAME_BYTES = 100
+#: frame-sampling window for the documents-as-media replay (bytes).
+#: 99 — a multiple of 3 — so every window starts on a base64 group
+#: boundary: base64(payload) slices into independent 132-char groups,
+#: one per window, letting the oracle express the BYTE-true windows
+#: through VARCHAR functions (DuckDB 1.0 has no BLOB substring). The
+#: old 100-byte window + VARCHAR-substring oracle was only byte-true
+#: on pure-ASCII text; the round-14 adversarial-unicode sweep caught
+#: the divergence (spark=1364 vs oracle=1356 rows).
+FRAME_BYTES = 99
+_B64_CHARS = FRAME_BYTES // 3 * 4  # 132
 
-# VARCHAR substring is byte-exact here because the synthetic documents
-# are pure ASCII (verified: octet_length(encode(text)) == length(text)
-# at every SF); a non-ASCII regeneration would fail this oracle loudly
-# rather than silently diverge (DuckDB has no BLOB substring to do the
-# byte-true form).
 FRAMES_ORACLE = f"""
 SELECT doc_id AS media_id,
        CAST(i AS INT) AS frame_idx,
-       md5(substring(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+       md5(substring(to_base64(encode(text)),
+                     i * {_B64_CHARS} + 1, {_B64_CHARS}))
          AS frame_checksum
 FROM (SELECT doc_id, text FROM documents),
-     unnest(range(greatest(length(text) // {FRAME_BYTES}, 1))) AS u(i)
+     unnest(range(greatest(octet_length(encode(text)) // {FRAME_BYTES}, 1)))
+       AS u(i)
 """
 
 

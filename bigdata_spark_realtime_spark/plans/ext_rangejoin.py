@@ -89,8 +89,15 @@ def ext_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("click_id")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+    # output is keyed by click_id (the oracle's GROUP BY c.event_id):
+    # under at-least-once ingestion a replayed click row collapses to
+    # ONE output row — the round-14 duplicate-key sweep caught the old
+    # per-input-row left join emitting one row per replay. Pair counts
+    # still count every (click-copy, purchase-row) pair, mirroring the
+    # oracle exactly; on unique-key data distinct() is the identity.
     return (
         clicks.select("click_id")
+        .distinct()
         .join(hits, "click_id", "left")
         .select(
             "click_id",
