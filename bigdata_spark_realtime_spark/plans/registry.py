@@ -162,6 +162,10 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_decontam",
     "bigdata_spark_realtime_spark.plans.ext_approx_audit",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail6",
+    # round-14 additions (PENDING_FIRST_DRIVER_ROW; behind both the
+    # executed R14 window and the pre-committed R15 simulation): the
+    # second pair of approximation-quality audits
+    "bigdata_spark_realtime_spark.plans.ext_approx_audit2",
 )
 
 

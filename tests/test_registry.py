@@ -114,6 +114,7 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail5": 2,
     "ext_approx_audit": 2,
     "ext_stream_tail6": 1,
+    "ext_approx_audit2": 2,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -126,6 +127,8 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_ann_recall_eval",
     "ext_minhash_error_audit",
     "stream_funnel_steps",
+    "ext_semantic_gap_audit",
+    "ext_simhash_error_audit",
 }
 
 #: The exact first-50 registration window the round-14 external

@@ -1,0 +1,163 @@
+"""R14 surface growth: the second approximation-quality audit pair
+(plans/ext_approx_audit2.py) pinned against independent references —
+numpy for the exact vector math, collections.Counter for the exact
+token-space cosine — plus the structural invariants that make each
+audit trustworthy (the same strategy as r13's
+test_round13_property2.py for the first audit pair).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+
+def test_semantic_gap_audit_invariants_and_numpy_reference(spark, sf_dir):
+    from bigdata_spark_realtime_spark.plans.ext_approx_audit2 import (
+        AUDIT_N,
+        ext_semantic_gap_audit,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_semantic import (
+        ext_dedup_semantic,
+    )
+
+    audit = ext_semantic_gap_audit(spark, sf_dir).toPandas()
+    drops = ext_dedup_semantic(spark, sf_dir).toPandas()
+    assert len(audit) == min(AUDIT_N, len(drops)) > 0
+    # the audited rows are exactly the lowest-vec_id drops, scores intact
+    expected = drops.sort_values("vec_id").head(len(audit))
+    merged = audit.merge(
+        expected, on="vec_id", suffixes=("", "_drop"), how="inner"
+    )
+    assert len(merged) == len(audit)
+    assert (merged["cell_max_sim"] == merged["max_sim"]).all()
+    # corpus-wide max can never be below the cell-restricted max
+    assert (audit["gap"] >= 0).all()
+    assert (
+        audit["exact_max_sim"] >= audit["cell_max_sim"] - 1e-12
+    ).all()
+
+    # independent numpy reference for exact_max_sim
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    emb = emb[emb["embedding"].notna()]
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, row in audit.head(5).iterrows():
+        qi = int(np.where(ids == row["vec_id"])[0][0])
+        sims = np.round(m @ m[qi], 4)
+        sims[qi] = -np.inf  # self excluded
+        assert abs(float(sims.max()) - row["exact_max_sim"]) < 1e-9
+
+
+def test_simhash_error_audit_pure_python_reference(spark, sf_dir):
+    from bigdata_spark_realtime_spark.plans.ext_approx_audit2 import (
+        ext_simhash_error_audit,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_dedup import SIMHASH_BITS
+
+    audit = ext_simhash_error_audit(spark, sf_dir).toPandas()
+    assert len(audit) > 0
+    # column consistency: est_agreement is the dyadic 1 - h/64
+    # (HALF_UP reference — numpy/pandas .round is banker's and differs
+    # from the Spark/DuckDB round at .xxxx5 exactly where 1 - h/64
+    # lands, e.g. h=10 -> 0.84375)
+    half_up = np.floor((1.0 - audit["hamming"] / SIMHASH_BITS) * 1e4 + 0.5) / 1e4
+    assert (audit["est_agreement"] == half_up).all()
+    assert audit["exact_cos"].between(-1.0, 1.0).all()
+    assert (audit["abs_err"] >= 0).all() and (audit["abs_err"] <= 1).all()
+    # no duplicate pairs, canonical orientation
+    assert (audit["doc_a"] < audit["doc_b"]).all()
+    assert not audit.duplicated(["doc_a", "doc_b"]).any()
+
+    # pure-python reference for a handful of pairs: same tokenizer
+    # (space split, empties included), integer-count cosine, acos map
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    for _, row in audit.head(5).iterrows():
+        ca = Counter(docs[row["doc_a"]].split(" "))
+        cb = Counter(docs[row["doc_b"]].split(" "))
+        dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+        na = math.sqrt(sum(v * v for v in ca.values()))
+        nb = math.sqrt(sum(v * v for v in cb.values()))
+        cos = dot / (na * nb)
+
+        def _half_up(x: float) -> float:
+            return math.floor(x * 1e4 + 0.5) / 1e4
+
+        assert abs(_half_up(cos) - row["exact_cos"]) < 1e-9
+        pred = 1.0 - math.acos(max(-1.0, min(1.0, cos))) / math.pi
+        assert (
+            abs(_half_up(abs(row["est_agreement"] - pred)) - row["abs_err"])
+            < 1e-9
+        )
+
+
+def test_simhash_audit_pairs_superset_of_production_pairs(spark, sf_dir):
+    """Production near-dup pairs (hamming <= 3) are exactly the audit's
+    candidate rows below the threshold — the audit measures the same
+    candidate generation the dedup query ships."""
+    from bigdata_spark_realtime_spark.plans.ext_approx_audit2 import (
+        ext_simhash_error_audit,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_dedup import (
+        HAMMING_MAX,
+        ext_dedup_simhash_pairs,
+    )
+
+    audit = ext_simhash_error_audit(spark, sf_dir).toPandas()
+    prod = ext_dedup_simhash_pairs(spark, sf_dir).toPandas()
+    a = set(
+        map(
+            tuple,
+            audit.loc[
+                audit["hamming"] <= HAMMING_MAX, ["doc_a", "doc_b"]
+            ].to_numpy(),
+        )
+    )
+    p = set(map(tuple, prod[["doc_a", "doc_b"]].to_numpy()))
+    assert a == p
+
+
+def test_frames_checksum_base64_reference(spark, sf_dir):
+    """R14 fix pin: frame windows are BYTE-true (99-byte, base64-group
+    aligned) and the checksum is md5 of the window's base64 text —
+    defined for arbitrary binary payloads and exactly expressible by
+    the SQL oracle (the old raw-byte checksum + VARCHAR-substring
+    oracle diverged on non-ASCII text; adversarial-unicode sweep)."""
+    import base64
+    import hashlib
+
+    from bigdata_spark_realtime_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+    from bigdata_spark_realtime_spark.plans.ext_multimodal import FRAME_BYTES
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    assert FRAME_BYTES % 3 == 0  # base64 group alignment — oracle contract
+    media = documents_as_media(
+        load_table(spark, sf_dir, "documents")
+    ).limit(10)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = sample_frames(media, every_n_bytes=FRAME_BYTES).toPandas()
+    for _, row in got.iterrows():
+        p = payloads[row["media_id"]]
+        i = int(row["frame_idx"])
+        window = p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+        want = hashlib.md5(base64.b64encode(window)).hexdigest()
+        assert row["frame_checksum"] == want
+        # and the base64-slice identity the oracle relies on
+        full = base64.b64encode(p).decode()
+        k = FRAME_BYTES // 3 * 4
+        assert base64.b64encode(window).decode() == full[i * k : (i + 1) * k]
