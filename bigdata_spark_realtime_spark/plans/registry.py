@@ -166,6 +166,7 @@ _PLAN_MODULES = (
     # executed R14 window and the pre-committed R15 simulation): the
     # second pair of approximation-quality audits
     "bigdata_spark_realtime_spark.plans.ext_approx_audit2",
+    "bigdata_spark_realtime_spark.plans.ext_approx_audit3",
 )
 
 

@@ -115,6 +115,7 @@ EXPECTED_PER_MODULE = {
     "ext_approx_audit": 2,
     "ext_stream_tail6": 1,
     "ext_approx_audit2": 2,
+    "ext_approx_audit3": 3,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -129,6 +130,9 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "stream_funnel_steps",
     "ext_semantic_gap_audit",
     "ext_simhash_error_audit",
+    "ext_hll_error_audit",
+    "ext_quantile_error_audit",
+    "ext_srp_error_audit",
 }
 
 #: The exact first-50 registration window the round-14 external

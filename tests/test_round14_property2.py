@@ -161,3 +161,62 @@ def test_frames_checksum_base64_reference(spark, sf_dir):
         full = base64.b64encode(p).decode()
         k = FRAME_BYTES // 3 * 4
         assert base64.b64encode(window).decode() == full[i * k : (i + 1) * k]
+
+
+def test_hll_and_quantile_audits_within_published_error(spark, sf_dir):
+    """The sketch audits must report errors inside the estimators'
+    published envelopes at test SF: HLL σ ≈ 1.04/√256 ≈ 6.5% (allow
+    4σ), bucket-median ≤ 12.5% relative (3-bit mantissa buckets)."""
+    from bigdata_spark_realtime_spark.plans.ext_approx_audit3 import (
+        ext_hll_error_audit,
+        ext_quantile_error_audit,
+    )
+
+    hll = ext_hll_error_audit(spark, sf_dir).toPandas()
+    assert len(hll) > 0
+    assert hll["rel_err"].abs().max() < 4 * 0.065
+    q = ext_quantile_error_audit(spark, sf_dir).toPandas()
+    assert len(q) > 0
+    q = q[q["exact_median_value"].notna()]
+    rel = (q["abs_err"] / q["exact_median_value"]).max()
+    assert rel <= 0.125 + 1e-9
+
+
+def test_srp_error_audit_structure_and_reference(spark, sf_dir):
+    """SRP calibration rows: hamming bounded by the plane count,
+    est_agreement the exact derived ratio, and a numpy reference for
+    one pair's bit agreement from the raw signatures."""
+    import numpy as np
+
+    from bigdata_spark_realtime_spark.functions import hashing as H
+    from bigdata_spark_realtime_spark.plans.corpus import emb_double
+    from bigdata_spark_realtime_spark.plans.ext_approx_audit3 import (
+        _SRP_PLANES,
+        ext_srp_error_audit,
+    )
+    from bigdata_spark_realtime_spark.sources.tables import load_table
+
+    audit = ext_srp_error_audit(spark, sf_dir).toPandas()
+    assert len(audit) > 0
+    assert audit["hamming"].between(0, _SRP_PLANES).all()
+    ref = (1.0 - audit["hamming"] / _SRP_PLANES) * 1e4
+    assert (audit["est_agreement"] == np.floor(ref + 0.5) / 1e4).all()
+    assert (audit["vec_a"] < audit["vec_b"]).all()
+    assert not audit.duplicated(["vec_a", "vec_b"]).any()
+
+    # numpy reference for one pair: same integer projection
+    emb = (
+        emb_double(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")["embedding"]
+    )
+    w = np.array(H.SRP_W, dtype=np.int64)
+    row = audit.iloc[0]
+    bits = {}
+    for v in (row["vec_a"], row["vec_b"]):
+        qe = np.floor(np.asarray(emb[v], dtype="float64") * H.SRP_SCALE).astype(
+            "int64"
+        )
+        bits[v] = (w @ qe >= 0).astype(int)
+    assert int((bits[row["vec_a"]] != bits[row["vec_b"]]).sum()) == row["hamming"]
