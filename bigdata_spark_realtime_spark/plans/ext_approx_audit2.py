@@ -131,16 +131,30 @@ def ext_semantic_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Counts are integers — dot products and squared norms are exact in
 # doubles regardless of summation order, so both engines compute
 # bit-identical cosines before the single rounded division.
+#
+# AUDIT_FANOUT caps the audited pairs per doc_a (smallest doc_b win —
+# deterministic): random 16-bit band collisions grow the raw candidate
+# list quadratically over the keyspace (measured: 188k pairs at sf0.1,
+# 4.08M at a 10x replica — the round-14 scale smoke's one real
+# catch), and a calibration audit needs a bounded, unbiased sample,
+# not every pair. The cap makes audit work O(fanout x docs) — linear.
+AUDIT_FANOUT = 8
+
 SIMHASH_ERR_ORACLE = f"""
 WITH sh AS ({SIMHASH_ORACLE}),
 bands AS (
   SELECT doc_id, b, (simhash >> (b * {BAND_BITS})) & {_BAND_MASK} AS key
   FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)
 ),
-cand AS (
+rawcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT doc_a, doc_b FROM rawcand
+  QUALIFY row_number() OVER (PARTITION BY doc_a ORDER BY doc_b)
+          <= {AUDIT_FANOUT}
 ),
 tc AS (
   SELECT doc_id, t.tok, count(*) AS c
@@ -188,6 +202,8 @@ def ext_simhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - θ/π on the exact token-count cosine. The exact side reuses the
     fingerprints' own tokenizer; the only shuffles are the token-count
     aggregation (tfidf-class) and the |candidates| pair join."""
+    from pyspark.sql import Window
+
     sh = ext_dedup_simhash(spark, sf_dir)
     bands = sh.select(
         "doc_id",
@@ -205,7 +221,13 @@ def ext_simhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.b", "bb.key")
-    cand = _bucket_pairs(bands, ("b", "key"))
+    fanout_w = Window.partitionBy("doc_a").orderBy("doc_b")
+    cand = (
+        _bucket_pairs(bands, ("b", "key"))
+        .withColumn("rn", F.row_number().over(fanout_w))
+        .where(F.col("rn") <= AUDIT_FANOUT)
+        .select("doc_a", "doc_b")
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     tc = (

@@ -149,11 +149,23 @@ _SRP_PLANES = H.SRP_BANDS * H.SRP_ROWS
 # re-statement would drift the moment the signature definition moves
 _SRP_CTE = SRP_ORACLE[: SRP_ORACLE.index("SELECT c.vec_a")]
 
+#: per-vector audit fanout (smallest vec_b win): keeps the calibration
+#: sample linear in corpus size — the same quadratic-candidate guard as
+#: ext_approx_audit2.AUDIT_FANOUT (random band collisions grow the raw
+#: pair list superlinearly; an audit needs a bounded deterministic
+#: sample, not every pair)
+SRP_AUDIT_FANOUT = 8
+
 SRP_ERR_ORACLE = _SRP_CTE.rstrip() + f""",
+capped AS (
+  SELECT vec_a, vec_b FROM cand
+  QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY vec_b)
+          <= {SRP_AUDIT_FANOUT}
+),
 agree AS (
   SELECT c.vec_a, c.vec_b,
          CAST(sum(bit_count(xor(a.key, b.key))) AS INT) AS hamming
-  FROM cand c
+  FROM capped c
   JOIN bands a ON a.vec_id = c.vec_a
   JOIN bands b ON b.vec_id = c.vec_b AND b.band = a.band
   GROUP BY c.vec_a, c.vec_b
@@ -183,13 +195,22 @@ def ext_srp_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1 - θ/π hyperplane expectation on the exact embedding cosine.
     The oracle reuses the production query's own signature CTEs, so
     this audits exactly the buckets ext_dedup_embedding_srp pairs on."""
+    from pyspark.sql import Window
+
     from bigdata_spark_realtime_spark.operators.shingling import bucket_pairs
 
     e = emb_double(load_table(spark, sf_dir, "embeddings"))
     bands = srp_band_rows(e)
-    cand = bucket_pairs(
-        bands.withColumnRenamed("vec_id", "doc_id"), ("band", "key")
-    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+    fanout_w = Window.partitionBy("vec_a").orderBy("vec_b")
+    cand = (
+        bucket_pairs(
+            bands.withColumnRenamed("vec_id", "doc_id"), ("band", "key")
+        )
+        .select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+        .withColumn("rn", F.row_number().over(fanout_w))
+        .where(F.col("rn") <= SRP_AUDIT_FANOUT)
+        .select("vec_a", "vec_b")
+    )
     ka = bands.select(
         F.col("vec_id").alias("vec_a"), "band", F.col("key").alias("key_a")
     )

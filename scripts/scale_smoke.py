@@ -116,6 +116,22 @@ SMOKE_QUERIES = (
     "ext_minhash_error_audit",
     "stream_funnel_steps",
     "ext_ann_recall_eval",
+    # round-14 additions: the remaining approximation-quality audits
+    # (semantic gap re-runs SemDeDup + a bounded rerank; simhash/SRP
+    # calibrations join the candidate lists against token counts /
+    # band keys — candidate growth is the scale axis; hll/quantile run
+    # on sketch-cardinality rows and must stay flat), plus the two
+    # migrated events-replay twins — the documents/embeddings replicas
+    # are Spark-WRITTEN directory tables, so these exercise the
+    # layout-robust file_replay_stream and the all-data-files-in-one-
+    # micro-batch watermark fix at 10x
+    "ext_semantic_gap_audit",
+    "ext_simhash_error_audit",
+    "ext_srp_error_audit",
+    "ext_hll_error_audit",
+    "ext_quantile_error_audit",
+    "stream_windowed_counts",
+    "stream_dedup_dau_keys",
 )
 
 
@@ -239,8 +255,10 @@ def _build_embeddings_copy(spark, load_table) -> None:
 
 
 def _build_duck_copies(duck_missing: set) -> None:
-    # events replica must stay a SINGLE parquet file (the loader's
-    # ts-vintage sniffing reads one file); duckdb COPY does that.
+    # events replica is a SINGLE parquet file (duckdb COPY writes one;
+    # since round 14 the loader's ts-vintage sniffing also handles
+    # directory tables via sources/replay.first_data_file, so this is
+    # a build-cost choice, not a loader constraint).
     # Disjoint user spans per replica: user-keyed operators (funnel,
     # co-occurrence, retention, HLL audiences) see 10x users with the
     # SAME per-user event structure — outputs scale linearly instead
