@@ -51,21 +51,35 @@ QUERIES: dict[str, QuerySpec] = {}
 #: outside a given round's external window is recorded in the round
 #: VERDICT.
 _PLAN_MODULES = (
-    # r14 window (exactly 50 queries): refresh rotation planned at the
-    # end of round 13 (plans/ROTATION_R14.md, deleted in this rotation
+    # r15 window (exactly 50 queries): refresh rotation planned at the
+    # end of round 14 (plans/ROTATION_R15.md, deleted in this rotation
     # commit) and re-simulated in a fresh interpreter before
-    # committing. Seats first driver rows for the round-13 streaming
-    # intake twins stream_scene_cuts / stream_pack_shards (slots
-    # 42-43), retires the last r5-era rows (ANN brute/bucketed + SRP,
-    # slots 7-9), every remaining r7 row (analytic 1-6, serving 10-13,
-    # asof 14, dedup 15-16, text 17-20, ext_pack_shards 41,
-    # serving_detail_by_item 13), and 18 of the 19 r8 rows. Import
-    # side effects counted: ext_bm25's module-level ext_ivf import
-    # drags ext_ann_ivf_topk to slot 23; ext_quality's decontam/
-    # sampling imports drag four r12 rows to 27-30; ext_stream_tail5's
-    # ext_multimodal import drags meta/decode/features to 38-40 and
-    # ext_pack_shards to 41; ext_curation3 drags ext_lm_score to 47.
-    # ext_pii_redact lands at slot 51 and seats first in R15.
+    # committing. Seats first driver rows for the round-13 late
+    # additions ext_ann_recall_eval / ext_minhash_error_audit (slots
+    # 11-12) and stream_funnel_steps (slot 17); retires every round-14
+    # body-drift row (the ext_dedup seven at 2-8, ext_embed four at
+    # 20-23, ext_annops pair at 19/24, olap_extras pair at 27-28, and
+    # the fourteen streaming_queries twins re-bodied by the r14 replay
+    # migration) plus ext_pii_redact (slot 1, last pre-r9 survivor).
+    # Import side effects counted: ext_approx_audit drags ext_dedup
+    # (2-8) and ext_similarity (9-10); ext_stream_tail6 drags
+    # ext_funnel (13-16); ext_annops drags ext_ivf (18); olap_extras
+    # drags ext_sketch (25-26); streaming_queries' oracle builders drag
+    # ext_sampling, ext_decontam, ext_lm, ext_snapshot, ext_attrib,
+    # ext_skewcheck. The four fixture-replay twins sit at the END of
+    # streaming_queries.py so they spill to slots 51-54 and keep their
+    # r12 greens.
+    "bigdata_spark_realtime_spark.plans.ext_pii",
+    "bigdata_spark_realtime_spark.plans.ext_approx_audit",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail6",
+    "bigdata_spark_realtime_spark.plans.ext_annops",
+    "bigdata_spark_realtime_spark.plans.ext_embed",
+    "bigdata_spark_realtime_spark.plans.olap_extras",
+    "bigdata_spark_realtime_spark.plans.streaming_queries",
+    # below here every query is OUTSIDE the 50-slot gate window; all
+    # have driver-verified rows (r8-r14).
+    # Relative order preserved from the r14 layout so refresh-rotation
+    # planning (plans/ROTATION_R16.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.analytic",
     "bigdata_spark_realtime_spark.plans.ext_similarity",
     "bigdata_spark_realtime_spark.plans.ext_srp",
@@ -86,11 +100,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_curation3",
     "bigdata_spark_realtime_spark.plans.ext_hybrid",
     "bigdata_spark_realtime_spark.plans.ext_order",
-    "bigdata_spark_realtime_spark.plans.ext_pii",
-    # below here every query is OUTSIDE the 50-slot gate window; all
-    # have driver-verified rows (r8-r13).
-    # Relative order preserved from the r13 layout so refresh-rotation
-    # planning (plans/ROTATION_R15.md) composes against a stable base.
     "bigdata_spark_realtime_spark.plans.ext_pit",
     "bigdata_spark_realtime_spark.plans.ext_contract",
     "bigdata_spark_realtime_spark.plans.transforms",
@@ -101,7 +110,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_split",
     "bigdata_spark_realtime_spark.plans.ext_triplets",
     "bigdata_spark_realtime_spark.plans.ext_dedup_impact",
-    "bigdata_spark_realtime_spark.plans.streaming_queries",
     "bigdata_spark_realtime_spark.plans.scalar_fns",
     "bigdata_spark_realtime_spark.plans.windows",
     "bigdata_spark_realtime_spark.plans.ext_nullprobe",
@@ -114,13 +122,11 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_stream_tail3",
     "bigdata_spark_realtime_spark.plans.ext_communities",
     "bigdata_spark_realtime_spark.plans.ext_embaudit",
-    "bigdata_spark_realtime_spark.plans.ext_annops",
     "bigdata_spark_realtime_spark.plans.ext_paths_daily",
     "bigdata_spark_realtime_spark.plans.ext_funnel_tail",
     "bigdata_spark_realtime_spark.plans.ext_graphrank",
     "bigdata_spark_realtime_spark.plans.ext_graphtri",
     "bigdata_spark_realtime_spark.plans.ext_sketch_window",
-    "bigdata_spark_realtime_spark.plans.olap_extras",
     "bigdata_spark_realtime_spark.plans.ext_attrib",
     "bigdata_spark_realtime_spark.plans.ext_snapshot",
     "bigdata_spark_realtime_spark.plans.ext_colloc",
@@ -144,7 +150,6 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_dsir",
     "bigdata_spark_realtime_spark.plans.ext_bpe",
     "bigdata_spark_realtime_spark.plans.ext_stream_tail",
-    "bigdata_spark_realtime_spark.plans.ext_embed",
     "bigdata_spark_realtime_spark.plans.ext_vocab",
     "bigdata_spark_realtime_spark.plans.ext_media_tail2",
     "bigdata_spark_realtime_spark.plans.ext_rangejoin",
@@ -160,11 +165,9 @@ _PLAN_MODULES = (
     "bigdata_spark_realtime_spark.plans.ext_dedup",
     "bigdata_spark_realtime_spark.plans.ext_sampling",
     "bigdata_spark_realtime_spark.plans.ext_decontam",
-    "bigdata_spark_realtime_spark.plans.ext_approx_audit",
-    "bigdata_spark_realtime_spark.plans.ext_stream_tail6",
-    # round-14 additions (PENDING_FIRST_DRIVER_ROW; behind both the
-    # executed R14 window and the pre-committed R15 simulation): the
-    # second pair of approximation-quality audits
+    # round-14 additions (PENDING_FIRST_DRIVER_ROW; behind the executed
+    # R15 window — they seat in R16): the second batch of
+    # approximation-quality audits
     "bigdata_spark_realtime_spark.plans.ext_approx_audit2",
     "bigdata_spark_realtime_spark.plans.ext_approx_audit3",
 )

@@ -121,13 +121,11 @@ EXPECTED_PER_MODULE = {
 #: queries registered since the last executed rotation, AFTER the
 #: pinned window (splice rule). The freshness mirror tolerates exactly
 #: these having no driver row; upcoming rotations must move them into
-#: a window and empty this set. The round-13 streaming intake twins
-#: seated in the executed R14 window (slots 42-43); the three round-13
-#: late additions (ext_approx_audit + ext_stream_tail6) seat in R15.
+#: a window and empty this set. The three round-13 late additions
+#: (ext_approx_audit + ext_stream_tail6) seated in the executed R15
+#: window (slots 11-12, 17); the five round-14 approximation-quality
+#: audits (ext_approx_audit2/3) seat in R16.
 PENDING_FIRST_DRIVER_ROW: set[str] = {
-    "ext_ann_recall_eval",
-    "ext_minhash_error_audit",
-    "stream_funnel_steps",
     "ext_semantic_gap_audit",
     "ext_simhash_error_audit",
     "ext_hll_error_audit",
@@ -135,59 +133,62 @@ PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_srp_error_audit",
 }
 
-#: The exact first-50 registration window the round-14 external
-#: correctness gate sees: the refresh rotation planned in round 13
-#: (plans/ROTATION_R14.md, deleted in the rotation commit). First
-#: driver rows for the round-13 streaming intake twins (R14_TARGETS,
-#: slots 42-43); the last r5-era rows (ANN brute/bucketed + SRP, slots
-#: 7-9), every remaining r7 row (analytic 1-6, serving 10-13, asof 14,
-#: dedup 15-16, text 17-20, ext_pack_shards 41), and 18 of 19 r8 rows
-#: retire. Import drags counted: ext_bm25→ext_ann_ivf_topk (23),
-#: ext_quality→decontam/sampling r12 rows (27-30),
-#: ext_stream_tail5→multimodal meta/decode/features (38-40) +
-#: ext_pack_shards (41), ext_curation3→ext_lm_score (47).
-#: ext_pii_redact lands at slot 51 — seats first in R15.
+#: The exact first-50 registration window the round-15 external
+#: correctness gate sees: the refresh rotation planned in round 14
+#: (plans/ROTATION_R15.md, deleted in the rotation commit). First
+#: driver rows for the round-13 late additions (R15_TARGETS, slots
+#: 11-12 and 17); every round-14 body-drift row retires (ext_dedup
+#: seven at 2-8, ext_embed four at 20-23, ext_annops pair at 19/24,
+#: olap_extras pair at 27-28, fourteen streaming_queries twins
+#: re-bodied by the r14 replay migration), plus ext_pii_redact
+#: (slot 1, last pre-r9 survivor). Import drags counted:
+#: ext_approx_audit→ext_dedup (2-8) + ext_similarity (9-10),
+#: ext_stream_tail6→ext_funnel (13-16), ext_annops→ext_ivf (18),
+#: olap_extras→ext_sketch (25-26), streaming_queries' oracle
+#: builders→ext_sampling/ext_decontam/ext_lm/ext_snapshot/ext_attrib/
+#: ext_skewcheck. The four fixture-replay twins spill to slots 51-54
+#: (r12 greens, bodies unchanged in r14).
 #: If this test goes red you reordered _PLAN_MODULES or registered a
 #: query ahead of the window — both silently change what the external
 #: gate verifies; update this list ONLY as a deliberate rotation.
-R14_WINDOW = [
-    "analytic_order_sequence", "cube_status_priority", "exact_percentiles",
-    "set_ops_customer_cohorts", "bucketed_colocated_join",
-    "w7_sliding_window_agg", "ext_ann_bruteforce_topk",
-    "ext_ann_bucketed_topk", "ext_dedup_embedding_srp",
-    "serving_dau_realtime", "serving_stats_by_item_age",
-    "serving_stats_by_item_gender", "serving_detail_by_item",
-    "ext_asof_join", "d1_first_seen_dedup", "d3_last_write_wins",
-    "ext_text_token_stats", "ext_text_lang_id", "ext_text_quality_score",
-    "ext_text_fingerprint", "ext_text_tfidf", "ext_bm25_search",
-    "ext_ann_ivf_topk", "ext_dedup_semantic", "ext_dedup_substring",
-    "ext_text_repetition", "ext_decontaminate", "ext_sample_stratified",
-    "ext_curation_pipeline", "ext_sample_source_cap", "ext_curation_full",
-    "ext_text_boilerplate_ngrams", "ext_quality_classifier",
-    "ext_mixture_weights", "ext_mixture_resample", "ext_corpus_profile",
-    "ext_source_overlap", "ext_multimodal_meta", "ext_multimodal_decode",
-    "ext_multimodal_features", "ext_pack_shards", "stream_scene_cuts",
-    "stream_pack_shards", "ext_multimodal_frames", "ext_multimodal_resize",
-    "ext_chunk_windows", "ext_lm_score", "ext_curation_scored",
-    "ext_hybrid_search", "ext_train_order",
+R15_WINDOW = [
+    "ext_pii_redact", "ext_dedup_exact", "ext_dedup_minhash_lsh",
+    "ext_dedup_resolve", "ext_dedup_ngram_jaccard", "ext_dedup_simhash",
+    "ext_dedup_embedding", "ext_dedup_simhash_pairs",
+    "ext_ann_bruteforce_topk", "ext_ann_bucketed_topk",
+    "ext_ann_recall_eval", "ext_minhash_error_audit", "ext_funnel_steps",
+    "ext_retention_cohorts", "ext_item_cooccurrence",
+    "ext_event_transitions", "stream_funnel_steps", "ext_ann_ivf_topk",
+    "ext_ivf_cell_stats", "ext_embed_quantize_int8", "ext_embed_centroids",
+    "ext_kmeans_assign", "ext_centroid_similarity", "stream_kmeans_assign",
+    "ext_hll_distinct", "ext_cms_freq", "rollup_region_nation",
+    "approx_aggregates", "stream_windowed_counts", "stream_dedup_dau_keys",
+    "stream_sessionize_gap", "ext_sample_stratified",
+    "ext_curation_pipeline", "ext_sample_source_cap",
+    "stream_stratified_sample", "ext_decontaminate", "stream_decontaminate",
+    "stream_dedup_minhash", "ext_lm_score", "stream_lm_bucket",
+    "stream_hll_distinct", "stream_cms_freq", "stream_retention_cohorts",
+    "ext_snapshot_diff", "stream_snapshot_diff",
+    "ext_range_join_attribution", "ext_multitouch_attribution",
+    "stream_multitouch_attribution", "ext_skew_audit", "stream_skew_audit",
 ]
 
-#: the 2 rows this window exists to give FIRST driver rows (round-13
-#: surface growth) — asserted as a subset so a future splice can't
+#: the 3 rows this window exists to give FIRST driver rows (round-13
+#: late surface growth) — asserted as a subset so a future splice can't
 #: silently evict one while keeping the list length at 50
-R14_TARGETS = {
-    "stream_scene_cuts", "stream_pack_shards",
+R15_TARGETS = {
+    "ext_ann_recall_eval", "ext_minhash_error_audit", "stream_funnel_steps",
 }
 
 #: stable alias for dependents (test_partition_invariance.py): each
 #: rotation rebinds this to the new R{N}_TARGETS so importers survive
 #: the rename
-CURRENT_ROTATION_TARGETS = R14_TARGETS
+CURRENT_ROTATION_TARGETS = R15_TARGETS
 
 
-def test_r14_gate_window_is_pinned():
+def test_r15_gate_window_is_pinned():
     """The first 50 registered queries — what the external gate checks —
-    must be exactly the planned r14 window, in order.
+    must be exactly the planned r15 window, in order.
 
     Asserted in a FRESH interpreter: the gate runs a fresh process, and
     in-process pytest ordering is polluted — any earlier test module
@@ -198,9 +199,9 @@ def test_r14_gate_window_is_pinned():
     import subprocess
     import sys
 
-    assert len(R14_WINDOW) == 50
-    assert len(R14_TARGETS) == 2
-    assert R14_TARGETS <= set(R14_WINDOW)
+    assert len(R15_WINDOW) == 50
+    assert len(R15_TARGETS) == 3
+    assert R15_TARGETS <= set(R15_WINDOW)
     out = subprocess.run(
         [
             sys.executable,
@@ -214,7 +215,7 @@ def test_r14_gate_window_is_pinned():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     got = json.loads(out.stdout.strip().splitlines()[-1])
-    assert got == R14_WINDOW
+    assert got == R15_WINDOW
 
 
 def test_helper_imports_register_nothing():
@@ -279,7 +280,7 @@ def test_never_driver_verified_queries_are_inside_gate_window():
                 verified.add(name)
     assert verified, "no CORRECTNESS_r*.json artifacts found"
     never = set(registry.load_all()) - verified
-    stragglers = never - set(R14_WINDOW) - PENDING_FIRST_DRIVER_ROW
+    stragglers = never - set(R15_WINDOW) - PENDING_FIRST_DRIVER_ROW
     assert not stragglers, (
         f"queries with no driver row are OUTSIDE the gate window — "
         f"rotate them in (or declare in PENDING_FIRST_DRIVER_ROW if "
