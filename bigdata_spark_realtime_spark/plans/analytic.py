@@ -70,7 +70,8 @@ CUBE_ORACLE = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_amount
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS total_amount
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -88,7 +89,14 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty set exactly one grand-total row even over zero input rows,
     Spark's expand+hash-agg gives none (DuckDB emits it; empty-input
     sweep catch). The re-agg runs over ≤#statuses rows — no second
-    corpus pass — and returns its one row unconditionally."""
+    corpus pass — and returns its one row unconditionally.
+
+    Money sums are integer cents end-to-end (the ``_cent_sum`` pattern
+    of plans/tpch.py: both engines round each leaf value to exact cents
+    and sum BIGINT), so every subtotal level AND the re-aggregated
+    grand total are order-independent integer arithmetic — the
+    round(x, 2) half-cent boundary the r13 advisor flagged is
+    unreachable by construction."""
     from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
 
     def build_lvl() -> DataFrame:
@@ -103,7 +111,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         ).agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("amt_raw"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents"),
             F.grouping_id().alias("gid"),
         )
 
@@ -119,7 +129,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
         F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
         "n_orders",
-        F.round("amt_raw", 2).alias("total_amount"),
+        F.round(F.col("cents") / 100.0, 2).alias("total_amount"),
     )
     total = (
         lvl2.where(F.col("gid") == 1)  # status-level rows (priority bit)
@@ -127,7 +137,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_orders"), F.lit(0))
             .cast("bigint")
             .alias("n_orders"),
-            F.round(F.sum("amt_raw"), 2).alias("total_amount"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_amount"),
         )
         .select(
             F.lit("ALL").alias("status"),

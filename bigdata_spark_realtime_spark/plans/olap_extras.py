@@ -43,7 +43,8 @@ from bigdata_spark_realtime_spark.sources.tables import load_table
 
 ROLLUP_ORACLE = """
 SELECT r.r_name AS region, n.n_name AS nation,
-       round(sum(c.c_acctbal), 2) AS balance,
+       round(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+         AS balance,
        count(*) AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -65,7 +66,14 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep caught the divergence). Instead the grand total is derived by
     re-aggregating the region-level subtotal rows — a second agg over
     ~#regions rows, not a second corpus pass — which returns its one
-    row unconditionally."""
+    row unconditionally.
+
+    Money sums are integer cents end-to-end (the ``_cent_sum`` pattern
+    of plans/tpch.py: both engines round each leaf value to exact cents
+    and sum BIGINT), so the per-level sums AND the re-aggregated grand
+    total are order-independent integer arithmetic — the round(x, 2)
+    half-cent boundary the r13 advisor flagged is unreachable by
+    construction instead of merely unobserved at the swept sfs."""
     from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
 
     def build_lvl() -> DataFrame:
@@ -80,7 +88,9 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.groupingSets(
             [["r_name", "n_name"], ["r_name"]], "r_name", "n_name"
         ).agg(
-            F.sum("c_acctbal").alias("bal_raw"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+            ).alias("cents"),
             F.count(F.lit(1)).alias("n_customers"),
             F.grouping_id().alias("gid"),
         )
@@ -97,13 +107,13 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail = lvl.select(
         F.col("r_name").alias("region"),
         F.col("n_name").alias("nation"),
-        F.round("bal_raw", 2).alias("balance"),
+        F.round(F.col("cents") / 100.0, 2).alias("balance"),
         "n_customers",
     )
     total = (
         lvl2.where(F.col("gid") == 1)  # region-level rows (nation bit set)
         .agg(
-            F.round(F.sum("bal_raw"), 2).alias("balance"),
+            F.round(F.sum("cents") / 100.0, 2).alias("balance"),
             F.coalesce(F.sum("n_customers"), F.lit(0))
             .cast("bigint")
             .alias("n_customers"),
