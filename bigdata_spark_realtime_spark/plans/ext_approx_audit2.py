@@ -44,7 +44,6 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_spark_realtime_spark.functions import hashing as H
 from bigdata_spark_realtime_spark.plans.corpus import emb_double
 from bigdata_spark_realtime_spark.plans.ext_dedup import (
     SIMHASH_BANDS,

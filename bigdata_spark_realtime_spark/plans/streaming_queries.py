@@ -131,7 +131,6 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the watermark past every real window so append mode emits
     them all; sentinel rows are excluded from the returned frame and
     their own window never finalizes."""
-    import hashlib
     from datetime import datetime, timedelta, timezone
 
     import pyarrow as pa
@@ -141,6 +140,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_spark_realtime_spark.sources.replay import (
         first_data_file,
         link_data_files,
+        table_stamp,
     )
     from bigdata_spark_realtime_spark.sources.tables import (
         events_ts_kind,
@@ -152,16 +152,15 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    # key the fixture dir by source identity AND content stamp: the
-    # sentinel's ts depends on the data's max ts, so a regenerated
-    # dataset must get a fresh sentinel, not a stale one that would
-    # leave real windows below the watermark (stamp the first data file
-    # for directory tables — a rewrite replaces its part files)
-    stat = os.stat(first_data_file(src))
-    stamp = f"{src}|{stat.st_mtime_ns}|{stat.st_size}"
+    # key the fixture dir by source identity AND a content stamp of the
+    # WHOLE data-file set: the sentinel's ts depends on the data's max
+    # ts, so a regenerated OR appended dataset must get a fresh
+    # sentinel, not a stale one that would leave real windows below the
+    # watermark (an append to a directory table adds part files without
+    # touching the first one — stamping only the first file reused the
+    # old sentinel and the +10y watermark dropped every appended row)
     stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_events_flush_{hashlib.md5(stamp.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"bsr_events_flush_{table_stamp(src)}"
     )
     os.makedirs(stream_dir, exist_ok=True)
     # the a_ prefix keeps every data file lexicographically before the

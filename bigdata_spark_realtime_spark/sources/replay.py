@@ -41,6 +41,28 @@ def first_data_file(path: str) -> str:
     raise FileNotFoundError(f"no parquet data files under {path}")
 
 
+def table_stamp(path: str) -> str:
+    """Content stamp of a parquet table's data-file SET: the absolute
+    path plus sorted ``(name, mtime_ns, size)`` of every data file.
+    Any rewrite, append, or removal of a part file changes the stamp —
+    stamping only the first data file misses an append to a directory
+    table (new part files land without touching the first one), which
+    would reuse a stale link dir / flush sentinel and silently replay
+    the old table version (round-14 review finding)."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        parts = sorted(
+            (f, os.stat(os.path.join(path, f)).st_mtime_ns,
+             os.stat(os.path.join(path, f)).st_size)
+            for f in os.listdir(path)
+            if _is_data_file(f)
+        )
+    else:
+        st = os.stat(path)
+        parts = [(os.path.basename(path), st.st_mtime_ns, st.st_size)]
+    return hashlib.md5(repr((path, parts)).encode()).hexdigest()[:12]
+
+
 def link_data_files(src: str, dest_dir: str, prefix: str = "") -> None:
     """Symlink a parquet table (single file OR Spark-written directory)
     into ``dest_dir`` for the file-stream source, one link per data
@@ -67,14 +89,18 @@ def file_replay_stream(
 ) -> DataFrame:
     """Replay ``table_path`` (a parquet file OR a Spark-written parquet
     directory) as a file-source stream. The link dir is keyed by the
-    absolute source path so two tables sharing a basename never reuse
-    each other's links; links are idempotent across sessions."""
+    absolute source path AND a content stamp of the data-file set
+    (:func:`table_stamp`), so two tables sharing a basename never reuse
+    each other's links and a rewritten-in-place or appended table gets
+    a FRESH dir — a path-only key left dangling symlinks (crash the
+    file-source listing) or still-valid links to the previous table
+    version (silently mix old rows into the replay) after an in-place
+    rewrite. Links are idempotent across sessions."""
     path = os.path.abspath(table_path)
     if schema is None:
         schema = spark.read.parquet(path).schema
     stream_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bsr_replay_{hashlib.md5(path.encode()).hexdigest()[:12]}",
+        tempfile.gettempdir(), f"bsr_replay_{table_stamp(path)}"
     )
     os.makedirs(stream_dir, exist_ok=True)
     link_data_files(path, stream_dir)
