@@ -188,6 +188,7 @@ def main() -> None:
     while time.monotonic() < deadline and os.getloadavg()[0] > 2.0:
         time.sleep(5)
     load_before = os.getloadavg()[0]
+    calib_before = md5_calibration_probe()
     passes: list[dict[str, float]] = []
     fail_counts: dict[str, int] = {}
     last_error: dict[str, str] = {}
@@ -213,6 +214,9 @@ def main() -> None:
     payload = build_payload(timings, errors, SF_DIR)
     payload["passes"] = passes
     payload["loadavg_1m"] = [round(load_before, 2), round(os.getloadavg()[0], 2)]
+    payload["calib"] = {
+        "md5_per_s_1core": [calib_before, md5_calibration_probe()]
+    }
     if flaky:
         payload["flaky"] = flaky
     print(build_compact_line(payload, timings))
@@ -233,6 +237,28 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — never die between bench and stop
         print(f"bench: could not merge round artifact: {e!r}", file=sys.stderr)
     spark.stop()
+
+
+def md5_calibration_probe(seconds: float = 0.4) -> int:
+    """Single-core md5 digest throughput (digests/s): a pure-CPU,
+    engine-independent host-speed probe. Recorded in every run record
+    (before and after the timed passes) under ``calib``, so cross-round
+    comparisons can be host-normalized mechanically — rounds 12-14 each
+    re-litigated host-vs-code attribution by hand after measuring the
+    same code 10-30% slower purely from host capping; with the probe in
+    the artifact, ratio-of-ratios (query time vs probe throughput) is
+    computable from the JSON alone."""
+    import hashlib
+
+    payloads = [str(i).encode() for i in range(1024)]
+    n = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while time.perf_counter() < deadline:
+        for p in payloads:
+            hashlib.md5(p).digest()
+        n += len(payloads)
+    return round(n / (time.perf_counter() - t0))
 
 
 def current_round(repo_dir: str) -> int:
@@ -296,6 +322,7 @@ def merge_round_artifact(
             "loadavg_1m": payload.get("loadavg_1m"),
             "value": payload["value"],
             "queries": timings,
+            **({"calib": payload["calib"]} if "calib" in payload else {}),
             **({"errors": payload["errors"]} if "errors" in payload else {}),
             **({"flaky": payload["flaky"]} if "flaky" in payload else {}),
         }

@@ -79,6 +79,21 @@ must be a deterministic function of the (multi)set both engines read:
 dedup operators must collapse the replays, count-based ones must count
 them, and neither may crash on the tie.
 
+`SPARK_GRAFT_BOUNDARY_WIDE=1` runs at FULL sf0.001 with adversarial
+RECORD WIDTH — the ninth mode, the one axis the first eight
+(cardinality, skew, nulls, text edges, order, unicode, dupes) never
+stressed: every 25th document's text is replaced by deterministic
+multi-hundred-KiB prose (widths cycle 1 MiB / 256 KiB / 64 KiB; a
+distinct word stride per doc so the giants are NOT near-dups of each
+other — the all-duplicate shape is the CLONES mode's job), `n_chars`
+kept consistent, and every 100th events row carries a ~256 KiB JSON
+``props`` payload. A single record much wider than the Arrow batch
+target is what a 100 TB web corpus actually contains (concatenated
+crawls, minified bundles, base64 blobs): per-batch kernels (shingling,
+LM scoring, frame windows, codecs) must neither crash nor mis-batch
+when one row dominates its batch, and byte-indexed windows (FRAME
+slicing) must stay byte-true at widths far past their test prose.
+
 Expected legitimate divergence classes (report-and-adjudicate, not
 auto-fail): none known at time of writing — ungrouped aggregates
 return one all-NULL/0 row in BOTH engines, grouped ones return zero
@@ -103,6 +118,7 @@ BOUNDARY_TEXT = os.environ.get("SPARK_GRAFT_BOUNDARY_TEXT", "") == "1"
 BOUNDARY_REVERSE = os.environ.get("SPARK_GRAFT_BOUNDARY_REVERSE", "") == "1"
 BOUNDARY_UNICODE = os.environ.get("SPARK_GRAFT_BOUNDARY_UNICODE", "") == "1"
 BOUNDARY_DUPES = os.environ.get("SPARK_GRAFT_BOUNDARY_DUPES", "") == "1"
+BOUNDARY_WIDE = os.environ.get("SPARK_GRAFT_BOUNDARY_WIDE", "") == "1"
 
 #: optional attribute columns NULLed (every 3rd row) under the nulls
 #: boundary. Deliberately excluded: primary/foreign keys (contract),
@@ -284,6 +300,73 @@ def materialize_duped_tables(dest: str) -> None:
         pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
 
 
+#: wide-record widths, cycled over the widened docs — one true 1 MiB
+#: monster per three, so the sweep stresses the extreme without the
+#: DuckDB oracle side (which re-tokenizes every widened doc in SQL)
+#: turning a 5-minute sweep into an hour
+_WIDE_WIDTHS = (1 << 20, 256 << 10, 64 << 10)
+_WIDE_DOC_EVERY = 25
+_WIDE_EVENT_EVERY = 100
+_WIDE_PROPS_BYTES = 256 << 10
+
+
+def _wide_text(pos: int, width: int) -> str:
+    """Deterministic prose of ~``width`` bytes: an arithmetic word-index
+    progression with a per-doc stride (9973 prime, stride coprime), so
+    each giant has ~9973 distinct tokens and a bigram/shingle set
+    DISJOINT-ish from every other giant — genuinely distinct wide
+    records, not rotations of one cycle that MinHash would collapse."""
+    stride = (pos % 9971) + 2  # 2..9972, always coprime with prime 9973
+    words = []
+    n = i = 0
+    while n < width:
+        w = f"w{(7 + i * stride) % 9973}"
+        words.append(w)
+        n += len(w) + 1
+        i += 1
+    return " ".join(words)
+
+
+def materialize_wide_tables(dest: str) -> None:
+    """Full sf copy with adversarial record width (see module doc):
+    multi-hundred-KiB document texts (n_chars kept consistent) and
+    ~256 KiB events.props JSON payloads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        table = pq.read_table(os.path.join(SCHEMA_SF_DIR, f"{t}.parquet"))
+        if t == "documents":
+            ti = table.schema.get_field_index("text")
+            tf = table.schema.field("text")
+            vals = table.column("text").to_pylist()
+            vals = [
+                _wide_text(r, _WIDE_WIDTHS[(r // _WIDE_DOC_EVERY) % 3])
+                if r % _WIDE_DOC_EVERY == 0
+                else v
+                for r, v in enumerate(vals)
+            ]
+            table = table.set_column(ti, tf, pa.array(vals, tf.type))
+            ni = table.schema.get_field_index("n_chars")
+            nf = table.schema.field("n_chars")
+            table = table.set_column(
+                ni, nf, pa.array([len(v) for v in vals], nf.type)
+            )
+        elif t == "events":
+            pi = table.schema.get_field_index("props")
+            pf = table.schema.field("props")
+            pad = "x" * _WIDE_PROPS_BYTES
+            vals = table.column("props").to_pylist()
+            vals = [
+                f'{{"pad":"{pad}","wide":{r}}}'
+                if r % _WIDE_EVENT_EVERY == 0
+                else v
+                for r, v in enumerate(vals)
+            ]
+            table = table.set_column(pi, pf, pa.array(vals, pf.type))
+        pq.write_table(table, os.path.join(dest, f"{t}.parquet"))
+
+
 def materialize_reversed_tables(dest: str) -> None:
     """Full sf copy with the physical row order reversed — a query
     whose answer changes is arrival-order-dependent, i.e. broken."""
@@ -310,7 +393,9 @@ def main() -> int:
     from oracle_util import assert_matches_oracle
 
     empty_dir = tempfile.mkdtemp(prefix="bsr_empty_sf_")
-    if BOUNDARY_UNICODE:
+    if BOUNDARY_WIDE:
+        materialize_wide_tables(empty_dir)
+    elif BOUNDARY_UNICODE:
         materialize_unicode_tables(empty_dir)
     elif BOUNDARY_DUPES:
         materialize_duped_tables(empty_dir)
@@ -360,7 +445,8 @@ def main() -> int:
     print(
         f"boundary swept {len(names)} queries "
         f"({len(oracles)} oracled) at "
-        + ("FULL sf, adversarial unicode" if BOUNDARY_UNICODE
+        + ("FULL sf, wide records" if BOUNDARY_WIDE
+           else "FULL sf, adversarial unicode" if BOUNDARY_UNICODE
            else "FULL sf, events replayed (dupe keys)" if BOUNDARY_DUPES
            else "FULL sf, row order reversed" if BOUNDARY_REVERSE
            else "FULL sf, text-edges" if BOUNDARY_TEXT
@@ -372,7 +458,8 @@ def main() -> int:
         print(f"PROBLEM {name}: {why}")
     if not problems:
         print(
-            "ALL CLEAN WITH ADVERSARIAL UNICODE" if BOUNDARY_UNICODE
+            "ALL CLEAN WITH WIDE RECORDS" if BOUNDARY_WIDE
+            else "ALL CLEAN WITH ADVERSARIAL UNICODE" if BOUNDARY_UNICODE
             else "ALL CLEAN WITH DUPLICATED EVENT KEYS" if BOUNDARY_DUPES
             else "ALL CLEAN WITH ROW ORDER REVERSED" if BOUNDARY_REVERSE
             else "ALL CLEAN WITH TEXT EDGES" if BOUNDARY_TEXT

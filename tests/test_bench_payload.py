@@ -112,3 +112,22 @@ def test_compact_line_always_fits_and_parses(timings, errs, value):
     # elision is an explicit count, never silent
     n_shown = len(parsed.get("queries", {}))
     assert n_shown + parsed.get("queries_elided", 0) == len(timings)
+
+
+def test_calibration_probe_recorded_in_run_records(tmp_path):
+    """Round-14 judge task #7: every merged run record must carry the
+    md5 host-speed probe so cross-round comparisons can be normalized
+    mechanically instead of re-litigating host-vs-code attribution."""
+    import bench
+
+    rate = bench.md5_calibration_probe(seconds=0.05)
+    assert rate > 10_000  # any non-pathological host clears this easily
+
+    (tmp_path / "CORRECTNESS_r14.json").write_text("{}")
+    payload = {
+        "metric": "m", "unit": "sec", "sf": 0.1, "value": 1.0,
+        "loadavg_1m": [1.0, 1.0],
+        "calib": {"md5_per_s_1core": [rate, rate]},
+    }
+    doc = bench.merge_round_artifact(str(tmp_path), payload, {"a": 1.0})
+    assert doc["runs"][-1]["calib"]["md5_per_s_1core"] == [rate, rate]
