@@ -170,6 +170,10 @@ _PLAN_MODULES = (
     # approximation-quality audits
     "bigdata_spark_realtime_spark.plans.ext_approx_audit2",
     "bigdata_spark_realtime_spark.plans.ext_approx_audit3",
+    # round-15 additions (PENDING_FIRST_DRIVER_ROW; seat in R16):
+    # URL-canonicalization dedup + the serving-stats intake twins
+    "bigdata_spark_realtime_spark.plans.ext_urlnorm",
+    "bigdata_spark_realtime_spark.plans.ext_stream_tail7",
 )
 
 

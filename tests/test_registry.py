@@ -116,6 +116,8 @@ EXPECTED_PER_MODULE = {
     "ext_stream_tail6": 1,
     "ext_approx_audit2": 2,
     "ext_approx_audit3": 3,
+    "ext_urlnorm": 1,
+    "ext_stream_tail7": 2,
 }
 
 #: queries registered since the last executed rotation, AFTER the
@@ -124,13 +126,18 @@ EXPECTED_PER_MODULE = {
 #: a window and empty this set. The three round-13 late additions
 #: (ext_approx_audit + ext_stream_tail6) seated in the executed R15
 #: window (slots 11-12, 17); the five round-14 approximation-quality
-#: audits (ext_approx_audit2/3) seat in R16.
+#: audits (ext_approx_audit2/3) and the three round-15 additions
+#: (URL-canonicalization dedup + the serving-stats intake twins) seat
+#: in R16 (plans/ROTATION_R16.md).
 PENDING_FIRST_DRIVER_ROW: set[str] = {
     "ext_semantic_gap_audit",
     "ext_simhash_error_audit",
     "ext_hll_error_audit",
     "ext_quantile_error_audit",
     "ext_srp_error_audit",
+    "ext_dedup_url",
+    "stream_stats_by_item_age",
+    "stream_stats_by_item_gender",
 }
 
 #: The exact first-50 registration window the round-15 external
