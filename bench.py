@@ -115,6 +115,12 @@ HEADLINE: tuple[str, ...] = (
     # (ext_split_leakage + the dedup family were already headline)
     "ext_dedup_impact",             # keeper-cardinality dedup impact report
     "ext_contrastive_triplets",     # SimHash positives + modular-id negatives
+    # NOTE: the headline set is frozen at these 67 (r13-r15 additions
+    # are deliberately NOT appended): at 70 queries the clean-run
+    # compact stdout line outgrows the driver's 2000-char tail window
+    # at 2dp and every per-query timing coarsens to 1dp — worse
+    # cross-round evidence than leaving new queries to the scale smoke
+    # and the full-precision BENCH_LOCAL_r{N}.json artifact.
 )
 
 

@@ -132,6 +132,14 @@ SMOKE_QUERIES = (
     "ext_quantile_error_audit",
     "stream_windowed_counts",
     "stream_dedup_dau_keys",
+    # round-15 additions: URL dedup is one canonical-key shuffle over
+    # the documents replica (output rows scale with pages); the
+    # serving-stats intake twin replays the replicated lineitem through
+    # the stream-static join chain (customer replica shifts c_custkey
+    # by the same r*1e6 as orders' o_custkey so matches scale too; the
+    # gender twin shares the whole chain except the final group key)
+    "ext_dedup_url",
+    "stream_stats_by_item_age",
 )
 
 
@@ -154,6 +162,7 @@ def build_copy(spark) -> None:
         "orders",
         "supplier",
         "lineitem",
+        "customer",
     )
     marker = os.path.join(BIG, ".base")
     stamp = f"{os.path.abspath(BASE)}|{REPS}"
@@ -180,7 +189,9 @@ def build_copy(spark) -> None:
         _build_documents_copy(spark, load_table)
     if "embeddings" in missing:
         _build_embeddings_copy(spark, load_table)
-    duck_missing = missing & {"events", "part", "orders", "supplier", "lineitem"}
+    duck_missing = missing & {
+        "events", "part", "orders", "supplier", "lineitem", "customer"
+    }
     if duck_missing:
         _build_duck_copies(duck_missing)
     with open(marker, "w") as f:
@@ -338,6 +349,22 @@ def _build_duck_copies(duck_missing: set) -> None:
               FROM read_parquet('{BASE}/supplier.parquet'),
                    unnest(range({REPS})) AS u(r)
             ) TO '{BIG}/supplier.parquet' (FORMAT PARQUET)
+            """
+        )
+    # customer replica for the serving-stats intake twins: c_custkey
+    # shifts by the SAME r*1e6 as the orders replica's o_custkey, so
+    # every replicated order keeps a matching customer and the join
+    # output scales linearly (derived birthday/gender re-derive from
+    # the shifted key — different values per replica, same cardinality)
+    if "customer" in duck_missing:
+        con.execute(
+            f"""
+            COPY (
+              SELECT c_custkey + u.r * 1000000 AS c_custkey,
+                     * EXCLUDE (c_custkey)
+              FROM read_parquet('{BASE}/customer.parquet'),
+                   unnest(range({REPS})) AS u(r)
+            ) TO '{BIG}/customer.parquet' (FORMAT PARQUET)
             """
         )
     if "lineitem" in duck_missing:
