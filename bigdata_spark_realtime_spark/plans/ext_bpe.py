@@ -39,10 +39,16 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE text IS NOT NULL
 ),
+-- linear zip-unnest + lead() pair derivation (the lateral range-join
+-- with t[i+1] indexing carries the full token list per pair row —
+-- quadratic in document width; see plans/ext_lm.py LM_ORACLE)
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
 pairs AS (
-  SELECT t[i + 1] AS w1, t[i + 2] AS w2
-  FROM toks, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+  QUALIFY w2 IS NOT NULL
 ),
 cnt AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
@@ -99,10 +105,16 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE text IS NOT NULL
 ),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
 pairs AS (
-  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, i
-  FROM toks, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
+  -- linear pair stream (see BPE_ORACLE note); i is the 0-based
+  -- position of w1, exactly as the old range(len(t) - 1) join emitted
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2, i
+  FROM tok
+  QUALIFY w2 IS NOT NULL
 ),
 top1 AS (
   SELECT w1, w2 FROM (
@@ -186,7 +198,12 @@ def ext_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     w1, w2 = top[0]["w1"], top[0]["w2"]
 
-    t = F.split("text", " ")
+    # materialize the token array below the position filter: an inline
+    # split referenced by element_at inside the interpreted lambda
+    # would be re-evaluated per position — O(width²) per document (see
+    # ext_text.ext_text_fingerprint; wide-record boundary sweep catch)
+    docs = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    t = F.col("toks")
     n_tokens = F.size(t).cast("bigint")
     positions = F.when(
         F.size(t) < 2, F.array().cast("array<int>")

@@ -37,14 +37,31 @@ STRIDE = 24
 CHUNK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+-- zip-unnest + chunk-membership groupBy instead of the lateral
+-- range-join with t[a:b] list slicing: the slice form carries the
+-- whole token list on every chunk row — quadratic in document width
+-- (see plans/ext_lm.py LM_ORACLE; the wide-record boundary sweep
+-- OOM-killed the old shape). Token at 0-based position i belongs to
+-- chunks c with c*STRIDE <= i <= c*STRIDE + CHUNK_W - 1, i.e. at most
+-- ceil(CHUNK_W / STRIDE) chunks; chunk count, text, and token count
+-- fall out of the membership group. Verified element-exact against
+-- the slice form on boundary-rich lengths (0/1/23..49/100/257).
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
+cand AS (
+  SELECT doc_id, w, i,
+         unnest(range(greatest((i - {CHUNK_W} + {STRIDE}) // {STRIDE}, 0),
+                      i // {STRIDE} + 1)) AS c
+  FROM tok
 )
 SELECT doc_id,
-       CAST(i AS INT) AS chunk_id,
-       array_to_string(t[i * {STRIDE} + 1 : i * {STRIDE} + {CHUNK_W}], ' ')
-         AS chunk_text,
-       CAST(least({CHUNK_W}, len(t) - i * {STRIDE}) AS BIGINT)
-         AS n_chunk_tokens
-FROM toks, unnest(range((len(t) + {STRIDE} - 1) // {STRIDE})) AS u(i)
+       CAST(c AS INT) AS chunk_id,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_chunk_tokens
+FROM cand
+GROUP BY doc_id, c
 """
 
 
@@ -53,7 +70,12 @@ def ext_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks per document: (doc_id, chunk_id,
     chunk_text, n_chunk_tokens), map-side only."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ", -1)
+    # materialize the token array below the transform: an inline split
+    # referenced by slice/size inside the interpreted lambda would be
+    # re-evaluated per chunk element — O(width²) per document (see
+    # ext_text.ext_text_fingerprint; wide-record boundary sweep catch)
+    docs = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    t = F.col("toks")
     chunk = F.transform(
         F.sequence(
             F.lit(0), F.floor((F.size(t) + STRIDE - 1) / STRIDE).cast("int") - 1

@@ -39,7 +39,7 @@ PMI_TOP_K = 20
 
 BIGRAM_PMI_ORACLE = f"""
 WITH toks AS (
-  SELECT string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 uni AS (
   SELECT u.tok AS w, CAST(count(*) AS BIGINT) AS cw
@@ -47,9 +47,16 @@ uni AS (
   GROUP BY u.tok
 ),
 n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni),
+-- linear zip-unnest + lead() pair derivation (the lateral range-join
+-- with list indexing carries the full token list per pair row —
+-- quadratic in document width; see plans/ext_lm.py LM_ORACLE)
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
 big AS (
-  SELECT t[i] AS w1, t[i + 1] AS w2
-  FROM toks, unnest(range(1, len(t))) AS r(i)
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+  QUALIFY w2 IS NOT NULL
 ),
 bc AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab

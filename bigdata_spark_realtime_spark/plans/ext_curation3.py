@@ -48,9 +48,17 @@ WITH corpus AS (
   SELECT doc_id, lang, source, text FROM documents WHERE source != '{eval_source}'
 ),
 toks_all AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+-- linear zip-unnest + lead() pair derivation (the lateral range-join
+-- with t[i+1] indexing carries the full token list per pair row —
+-- quadratic in document width; see plans/ext_lm.py LM_ORACLE)
+tok_all AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks_all
+),
 pairs_all AS (
-  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
-  FROM toks_all, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok_all
+  QUALIFY w2 IS NOT NULL
 ),
 train AS (SELECT w1, w2 FROM pairs_all WHERE {train_bucket} < {train_pct}),
 big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY w1, w2),
@@ -67,9 +75,14 @@ clf AS (
   FROM ctoks WHERE len(toks) >= 2
 ),
 clfs AS (SELECT doc_id, CAST(total // nf AS BIGINT) AS clf_score FROM clf),
+ctok AS (
+  SELECT doc_id, unnest(toks) AS w, unnest(range(len(toks))) AS i FROM ctoks
+),
 cpairs AS (
-  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
-  FROM ctoks, unnest(range(len(toks) - 1)) AS u(i) WHERE len(toks) >= 2
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM ctok
+  QUALIFY w2 IS NOT NULL
 ),
 surp AS (
   SELECT p.doc_id,

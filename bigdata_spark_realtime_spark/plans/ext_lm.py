@@ -78,10 +78,19 @@ LM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
+-- zip-unnest + lead() instead of the lateral range-join with t[i+1]
+-- indexing: the join form makes DuckDB carry the whole token LIST on
+-- every pair row, quadratic in document width (a single 1 MiB doc
+-- cost 310 s / >8 GB; the wide-record boundary sweep OOM-killed the
+-- harness at 126 GB). This form is linear and byte-identical.
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
+),
 pairs AS (
-  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
-  FROM toks, unnest(range(len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+  QUALIFY w2 IS NOT NULL
 ),
 train AS (
   SELECT w1, w2 FROM pairs WHERE {_TRAIN_BUCKET_SQL} < {TRAIN_PCT}

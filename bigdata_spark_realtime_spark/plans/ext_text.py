@@ -175,9 +175,20 @@ WHERE len(toks) >= 5
 @register("ext_text_fingerprint", oracle=FP_ORACLE)
 def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document fingerprint (normalized md5) + winnowing-style
-    minimum over rolling 5-token shingle hashes."""
+    minimum over rolling 5-token shingle hashes.
+
+    ``toks`` is MATERIALIZED in a lower projection before the shingle
+    transform: higher-order-function lambdas are interpreted, so an
+    inline ``split`` referenced by ``element_at`` inside the lambda is
+    re-evaluated for EVERY element — O(width²) per document (one 1 MiB
+    doc burned >12 CPU-minutes in the wide-record boundary sweep).
+    The multi-reference, non-cheap alias blocks CollapseProject from
+    re-inlining it (pinned in tests/test_round15_property2.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    docs = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     return docs.where(F.size(toks) >= 5).select(
         "doc_id",
         F.md5(norm_text(F.col("text"))).alias("fingerprint"),

@@ -108,9 +108,17 @@ def t6_multiplex_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 T7_ORACLE = """
-SELECT d.doc_id, d.lang, CAST(t.i AS INT) AS pos, d.toks[t.i + 1] AS token
-FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) d,
-     LATERAL (SELECT unnest(range(len(d.toks))) AS i) t
+SELECT doc_id, lang, CAST(i AS INT) AS pos, token
+FROM (
+  -- zip-unnest (parallel unnests in one SELECT align element-wise)
+  -- instead of the LATERAL range + toks[i + 1] indexing: the indexed
+  -- form carries the whole token list on every output row, quadratic
+  -- in document width (see plans/ext_lm.py LM_ORACLE)
+  SELECT doc_id, lang,
+         unnest(range(len(toks))) AS i, unnest(toks) AS token
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents)
+)
 """
 
 

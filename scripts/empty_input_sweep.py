@@ -428,7 +428,12 @@ def main() -> int:
     problems = []
     t0 = time.time()
     names = entry.queries()
-    for name, fn in names.items():
+    for i, (name, fn) in enumerate(names.items(), 1):
+        # progress to stderr, flushed per query: if the sweep dies hard
+        # (the wide mode's first run was OOM-killed with no traceback),
+        # the last line names the culprit instead of leaving a silent
+        # exit for the harness to bisect.
+        print(f"[sweep {i}/{len(names)}] {name}", file=sys.stderr, flush=True)
         try:
             got = fn(spark, empty_dir).toPandas()
         except Exception as ex:  # noqa: BLE001 — report and continue
