@@ -41,18 +41,21 @@ BIGRAM_PMI_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-uni AS (
-  SELECT u.tok AS w, CAST(count(*) AS BIGINT) AS cw
-  FROM toks, unnest(t) AS u(tok)
-  GROUP BY u.tok
-),
-n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni),
--- linear zip-unnest + lead() pair derivation (the lateral range-join
--- with list indexing carries the full token list per pair row —
--- quadratic in document width; see plans/ext_lm.py LM_ORACLE)
+-- linear zip-unnest token stream: BOTH the lateral range-join with
+-- list indexing AND the plain lateral from-clause unnest join
+-- carry the full token list per output row — quadratic in document
+-- width (the lateral-unnest uni measured 49 GB on 24 widened docs,
+-- OOM-killing the wide-record sweep; see plans/ext_lm.py LM_ORACLE).
+-- unnest in the SELECT list is DuckDB's linear explode.
 tok AS (
   SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM toks
 ),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cw
+  FROM tok
+  GROUP BY w
+),
+n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tokens FROM uni),
 big AS (
   SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
   FROM tok

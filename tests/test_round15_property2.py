@@ -38,6 +38,13 @@ _ORACLE_PINS = [
     ("bigdata_spark_realtime_spark.plans.ext_bpe", "BPE_ORACLE", "t[i + 1]"),
     ("bigdata_spark_realtime_spark.plans.ext_bpe", "APPLY_ORACLE", "t[i + 1]"),
     ("bigdata_spark_realtime_spark.plans.ext_colloc", "BIGRAM_PMI_ORACLE", "t[i]"),
+    # the plain lateral "FROM toks, unnest(t)" join is the same class:
+    # it carries the token list per element row (49 GB on 24 wide docs)
+    (
+        "bigdata_spark_realtime_spark.plans.ext_colloc",
+        "BIGRAM_PMI_ORACLE",
+        "FROM toks, unnest(",
+    ),
     ("bigdata_spark_realtime_spark.plans.ext_chunk", "CHUNK_ORACLE", "t[i *"),
     ("bigdata_spark_realtime_spark.plans.transforms", "T7_ORACLE", "toks[t.i"),
     (
