@@ -54,22 +54,65 @@ def seeded_centroids(
 
 
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid (squared-L2) single assignment: emb + `cell`.
+    """Nearest-centroid (squared-L2) single assignment: emb + `cell`,
+    computed MAP-SIDE in one Arrow kernel — zero exchanges, zero joins.
 
-    The centroid set is tiny and broadcast, so this is a map-side
-    cross-product of |corpus| × n_cells distance folds followed by a
-    per-vector argmin window — one shuffle on vec_id, which at scale is
-    replaced by a map-side argmin (the window exists only to keep the
-    tie rule — min dist, then lowest cell — declarative and identical
-    to the SQL oracle's)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", _sq_dist(F.col("embedding"), F.col("centroid")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("dist", "rn", "centroid")
+    Until round 15 this was a broadcast crossJoin (|corpus| × n_cells
+    materialized JVM rows, each carrying the full embedding array)
+    followed by an interpreted per-row `_sq_dist` fold and a
+    row_number window SHUFFLED on vec_id. Correct, but the row
+    explosion is the term that dominates once n_cells grows with the
+    corpus (FAISS sizes nlist ≈ √n): the round-15 scale smoke read the
+    30×-rows/30×-cells point at 86.7 s, ~81 s of it this one stage.
+    The kernel does the identical arithmetic batch-at-a-time in C.
+
+    Bit-exactness contract (the reason this stays hash-identical to
+    the `{SQD_E}, cell` SQL-oracle tie rule):
+
+    - distance: the j-loop accumulates ``acc += (x_j - c_j)²`` in
+      ascending element order from 0.0 — one IEEE-double multiply then
+      one add per element, the exact rounding sequence of the
+      `_sq_dist` left fold (`F.aggregate`) and of the oracles' SQD_E
+      expression. NumPy's pairwise-summation shortcut never engages
+      because each += is a single elementwise add.
+    - ties: centroids are sorted by `cell` before stacking, and
+      ``np.argmin`` returns the FIRST minimum — i.e. the lowest cell
+      among bit-equal distances, the window's `orderBy(dist, cell)`.
+
+    The centroid fetch is the quantizer's bounded model artifact
+    (n_cells rows — the same class as ext_embed's L×64 centroid
+    fetch); `emb` must be NULL-vector-free (`corpus.emb_double`), as
+    the Arrow kernels downstream already require."""
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    cell_field = centroids.schema["cell"]
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("cell", cell_field.dataType)]
     )
+    cents_pdf = centroids.orderBy("cell").toPandas()
+    if len(cents_pdf) == 0:
+        # empty quantizer (0-rows boundary): the crossJoin form yielded
+        # no rows; preserve that contract with an empty frame
+        return emb.sparkSession.createDataFrame([], out_schema)
+    cm = np.stack(cents_pdf["centroid"].to_numpy()).astype("float64")
+    cell_ids = cents_pdf["cell"].to_numpy()
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xm = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            acc = np.zeros((xm.shape[0], cm.shape[0]))
+            for j in range(cm.shape[1]):
+                d = xm[:, j : j + 1] - cm[None, :, j]
+                acc += d * d
+            out = pdf.copy()
+            out["cell"] = cell_ids[np.argmin(acc, axis=1)]
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
 
 
 def build_ivf_index(

@@ -21,12 +21,16 @@ BEFORE the max/rank (ties broken by vec_id) so DuckDB replays the
 identical drop set.
 
 At 100 TB: the quantizer is trained KMeans (operators/similarity
-.build_ivf_index) with n_cells sized so a cell's matrix fits one Arrow
-batch; degenerate clusters are pre-split by
+.build_ivf_index) with nlist ≈ √n — the FAISS sizing that balances
+assignment (n·cells FLOPs) against the per-cell M @ M.T (n²/cells) at
+n^1.5 each; cells that still outgrow an Arrow batch are pre-split by
 operators/similarity.split_oversized_cells (bounded per-task memory at
 the cost of cross-sub-cell pairs — SemDeDup's own cross-cluster
-approximation). Centroids broadcast; the corpus shuffles exactly once
-(by cell). No all-pairs stage exists anywhere.
+approximation). Assignment itself is map-side since round 15: the
+centroid matrix rides inside an Arrow kernel closure and every batch
+argmins in C (operators/similarity.assign_cells documents the
+bit-exact fold-order contract), so the corpus's ONLY exchange is the
+groupBy(cell). No all-pairs stage exists anywhere.
 
 Reference parity: the reference has no embedding surface; this extends
 the engine for training-data curation (SURVEY.md §2 ext), composing

@@ -457,14 +457,20 @@ def main() -> None:
     try:
         for sf_dir, tag in ((BASE, "1x"), (BIG, f"{REPS}x")):
             # SemDeDup production quantizer rule (ext_semantic module
-            # doc): n_cells scales with corpus size so a cell's matrix
-            # fits one Arrow batch — per-cell M @ M.T is n²/cells, so a
-            # FIXED cell count reads quadratic on replicas (r14 README:
-            # ext_semantic_gap_audit 16.9x wall at 30x rows). The gate
-            # keeps the pinned oracle-replayable default; the replica
-            # pass runs the documented rule (cells ∝ rows), same
-            # module-repoint pattern as media_smoke's MEDIA_BASE.
-            sem.N_CELLS = default_cells if sf_dir == BASE else default_cells * REPS
+            # doc): nlist ≈ √n, the FAISS sizing that balances the two
+            # terms — assignment is n·cells FLOPs, per-cell M @ M.T is
+            # n²/cells — at n^1.5 each. A FIXED cell count reads
+            # quadratic on replicas (r14 README: 16.9x wall at 30x
+            # rows); cells ∝ n re-creates the quadratic in the
+            # ASSIGNMENT term instead (r15: 86.7 s at 30x pre-kernel).
+            # The gate keeps the pinned oracle-replayable default; the
+            # replica pass runs the √-rule, same module-repoint pattern
+            # as media_smoke's MEDIA_BASE.
+            sem.N_CELLS = (
+                default_cells
+                if sf_dir == BASE
+                else max(default_cells, round(default_cells * REPS**0.5))
+            )
             load_table(spark, sf_dir, "documents").write.format("noop").mode(
                 "overwrite"
             ).save()

@@ -238,15 +238,17 @@ def test_mixture_resample_broadcasts_rates(spark, sf_dir):
 
 
 def test_semantic_dedup_exchanges_are_bounded(spark, sf_dir):
-    """SemDeDup's corpus-side exchanges: the argmin-assignment window
-    (by vec_id) and the per-cell kernel's groupBy(cell) — exactly two;
-    the centroid set must arrive via broadcast (nested-loop over 16
-    rows), never by shuffling the corpus against it."""
+    """SemDeDup's corpus side: the round-15 map-side argmin kernel
+    removed the centroid crossJoin (|corpus| × n_cells row explosion)
+    AND the vec_id window shuffle — the only remaining exchange is the
+    per-cell kernel's groupBy(cell), and the corpus must never join
+    against the centroid frame at all (the quantizer rides inside the
+    Arrow kernel's closure)."""
     plan = _plan(spark, sf_dir, "ext_dedup_semantic")
-    assert "BroadcastNestedLoopJoin" in plan, "centroids must broadcast"
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan, "assignment must be the Arrow kernel"
+    assert "Join" not in plan, "corpus must not join the centroid frame"
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+    assert n_exchanges <= 1, f"{n_exchanges} exchanges:\n{plan}"
 
 
 def test_pii_redact_is_shuffle_free(spark, sf_dir):
