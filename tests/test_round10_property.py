@@ -63,7 +63,14 @@ def test_bigram_pmi_oracle_matches_python_reference(doc_toks):
         PMI_TOP_K,
     )
 
-    df = pd.DataFrame({"text": [" ".join(t) for t in doc_toks]})
+    # the round-15 linear zip-unnest oracle keys adjacency by doc_id
+    # (lead() OVER PARTITION BY doc_id), so the fixture needs one
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(doc_toks)),
+            "text": [" ".join(t) for t in doc_toks],
+        }
+    )
     con = duckdb.connect()
     con.register("documents", df)
     got = [
