@@ -99,10 +99,15 @@ def ext_semantic_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_neighbors_broadcast,
     )
 
+    # persist the AUDIT_N-row drop set: it feeds TWO actions (the
+    # bounded audited-vector fetch below and the final gap join), and
+    # without the pin each action re-runs the whole SemDeDup chain —
+    # quantizer, assignment kernel, per-cell M @ M.T — from the scan
     drops = (
         ext_dedup_semantic(spark, sf_dir)
         .orderBy("vec_id")
         .limit(AUDIT_N)
+        .persist()
     )
     emb = emb_double(load_table(spark, sf_dir, "embeddings"))
     # bounded driver fetch (<= AUDIT_N rows) — the kernel's documented
