@@ -77,12 +77,48 @@ def _shingle_strs(toks: list[str], w: int) -> list[str]:
 
 
 def _h32_arr(strings: list[str]) -> np.ndarray:
-    """h32 of each string (first 8 md5 hex digits as int), as int64."""
+    """h32 of each string (first 4 md5 bytes big-endian == first 8 hex
+    digits as int — bit-identical, ~30% cheaper than the hexdigest
+    string path: no 32-char hex string, no int-from-hex parse), as
+    int64."""
+    md5 = hashlib.md5
+    fb = int.from_bytes
     return np.fromiter(
-        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strings),
+        (fb(md5(s.encode()).digest()[:4], "big") for s in strings),
         dtype=np.int64,
         count=len(strings),
     )
+
+
+def _factorize(strings: list[str]) -> tuple[np.ndarray, list[str]]:
+    """(codes, uniques) over a string list via pandas' C-speed
+    factorizer. Natural-language tokens/shingles repeat heavily, so
+    hashing each DISTINCT string once and gathering by code cuts the
+    md5 count by the duplication factor — the per-task kernel analogue
+    of map-side pre-aggregation (guide §4.2: vectorize the batch, r15
+    optimization round). Worst case (all unique) it degrades to one
+    extra O(n) pass, not a new asymptotic term."""
+    codes, uniques = pd.factorize(np.asarray(strings, dtype=object))
+    return codes, list(uniques)
+
+
+def _h32_gathered(strings: list[str]) -> np.ndarray:
+    """_h32_arr semantics, md5 evaluated once per DISTINCT string."""
+    if len(strings) < 64:
+        return _h32_arr(strings)
+    codes, uniq = _factorize(strings)
+    return _h32_arr(uniq)[codes]
+
+
+def _factorize_pairs(pairs: list[tuple]) -> tuple[np.ndarray, list[tuple]]:
+    """(codes, uniques) over a list of tuples (e.g. token bigrams).
+    Tuples go through an explicitly-constructed object array —
+    ``np.asarray`` would otherwise promote a list of equal-length
+    tuples to a 2-D array and break the factorizer."""
+    arr = np.empty(len(pairs), dtype=object)
+    arr[:] = pairs
+    codes, uniques = pd.factorize(arr)
+    return codes, list(uniques)
 
 
 #: memo of the partition-count probe, keyed by the input frame's
@@ -133,29 +169,43 @@ def _doc_rows(
 
 def _chunked_minhash_gen(w: int, flush):
     """Shared batching loop for the MinHash kernels: accumulate per-doc
-    hashed-shingle arrays and flush (at doc boundaries) whenever the
-    running token count crosses _TOKEN_CHUNK — the memory bound — or
-    the batch ends. ``flush(ids, hs_parts, starts) -> DataFrame`` is
-    the only part the two kernels differ in; keeping the loop in one
-    place means a chunking/NULL-handling fix can never silently apply
-    to one kernel and not the other."""
+    shingle lists and flush (at doc boundaries) whenever the running
+    token count crosses _TOKEN_CHUNK — the memory bound — or the batch
+    ends. ``flush(ids, mins) -> DataFrame`` receives the per-doc
+    (K, n_docs) minhash minima; keeping the loop in one place means a
+    chunking/NULL-handling fix can never silently apply to one kernel
+    and not the other.
+
+    r15 optimization: shingles are factorized per chunk, so the md5
+    AND the K universal-hash permutations run once per DISTINCT
+    shingle — (K, n_uniq) arithmetic gathered back to (K, n) by code —
+    instead of once per shingle occurrence. Bit-identical: gather
+    commutes with the elementwise (a·h + b) mod P."""
+
+    def flush_chunk(ids, sh_parts, starts):
+        all_sh = [s for part in sh_parts for s in part]
+        codes, uniq = _factorize(all_sh)
+        hs_u = _h32_arr(uniq) % H.P  # (n_uniq,)
+        sig = ((_A * hs_u + _B) % H.P)[:, codes]  # (K, n) gather
+        mins = np.minimum.reduceat(sig, np.array(starts), axis=1)
+        return flush(ids, mins)
 
     def gen(batches):
         for pdf in batches:
-            ids, hs_parts, starts, pos = [], [], [], 0
+            ids, sh_parts, starts, pos = [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 sh = _shingle_strs(_toks(text), w)
                 if not sh:
                     continue
                 ids.append(doc_id)
                 starts.append(pos)
-                hs_parts.append(_h32_arr(sh) % H.P)
+                sh_parts.append(sh)
                 pos += len(sh)
                 if pos >= _TOKEN_CHUNK:
-                    yield flush(ids, hs_parts, starts)
-                    ids, hs_parts, starts, pos = [], [], [], 0
+                    yield flush_chunk(ids, sh_parts, starts)
+                    ids, sh_parts, starts, pos = [], [], [], 0
             if ids:
-                yield flush(ids, hs_parts, starts)
+                yield flush_chunk(ids, sh_parts, starts)
 
     return gen
 
@@ -171,11 +221,7 @@ def minhash_signatures(
     int64s per doc; nothing upstream of the LSH band exchange ever
     shuffles."""
 
-    def flush(ids, hs_parts, starts):
-        hs = np.concatenate(hs_parts)  # (n_shingles,)
-        # universal-hash permutations: values < P^2 ~ 2^60, inside int64
-        sig = (_A * hs + _B) % H.P  # (K, n_shingles)
-        mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+    def flush(ids, mins):
         out = {"doc_id": np.array(ids, dtype=np.int64)}
         for j in range(H.K):
             out[f"m{j}"] = mins[j]
@@ -195,10 +241,7 @@ def minhash_band_keys(
     contract shared with the SQL oracle (functions/hashing.py):
     k1 = m[4b]·P + m[4b+1], k2 = m[4b+2]·P + m[4b+3] < P² ≈ 2^60."""
 
-    def flush(ids, hs_parts, starts):
-        hs = np.concatenate(hs_parts)
-        sig = (_A * hs + _B) % H.P
-        mins = np.minimum.reduceat(sig, np.array(starts), axis=1)  # (K, n_docs)
+    def flush(ids, mins):
         n = len(ids)
         ids_arr = np.array(ids, dtype=np.int64)
         return pd.DataFrame(
@@ -294,16 +337,20 @@ def window_hash_rows(
 
     def gen(batches):
         for pdf in batches:
-            keys, hashes = [], []
+            keys, sh_parts = [], []
             for key, text in zip(pdf[key_col], pdf["text"]):
                 sh = _shingle_strs(_toks(text), w)
                 if not sh:
                     continue
                 keys.extend([key] * len(sh))
-                hashes.append(_h32_arr(sh))
+                sh_parts.append(sh)
             if not keys:
                 continue
-            yield pd.DataFrame({key_col: keys, "h": np.concatenate(hashes)})
+            # factorized hashing: one md5 per DISTINCT window in the
+            # batch, gathered back by code (r15; duplicated windows are
+            # the operator's whole subject, so the dedup factor is high)
+            all_sh = [s for part in sh_parts for s in part]
+            yield pd.DataFrame({key_col: keys, "h": _h32_gathered(all_sh)})
 
     return _doc_rows(docs, min_parallelism, key_col=key_col).mapInPandas(
         gen, f"{key_col} {key_type}, h long"
@@ -390,6 +437,13 @@ def repetition_metrics(
     return inp.mapInPandas(gen, f"doc_id long, n_tokens long, {cols}{extra}")
 
 
+#: SimHash small-vocabulary fast path bound: below this many distinct
+#: tokens per chunk, per-doc bit sums run as a (docs × vocab) count
+#: matrix times the (vocab × 64) contribution matrix; above it, the
+#: dense counts matrix would dominate memory and the kernel takes the
+#: gather + reduceat path instead (adaptive, both integer-exact)
+_COUNTS_MATMUL_MAX_VOCAB = 2048
+
 _SHIFTS = np.arange(32, dtype=np.int64)
 _COMBINE_W = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
 _SIGN_BIT = np.int64(-9223372036854775807 - 1)  # -2^63 (two's complement)
@@ -405,18 +459,44 @@ def simhash_fingerprints(
     ``add.reduceat``, fingerprint bit i = sign of sum i with bit 63
     applied as -2^63 exactly like the JVM/DuckDB forms."""
 
-    def flush(ids, lo_parts, hi_parts, starts):
-        lo = np.concatenate(lo_parts)
-        hi = np.concatenate(hi_parts)
-        # (n_tokens, 64) of ±1: bits 0..31 from h_lo, 32..63 from h_hi
-        contrib = np.concatenate(
+    def flush(ids, tok_parts, starts):
+        # factorize the chunk's tokens: md5 and the ±1 contribution row
+        # are computed once per DISTINCT token (r15 optimization round;
+        # lo = first 4 digest bytes big-endian, hi = bytes 4..8 —
+        # bit-identical to the previous hexdigest[:8]/[8:16] parse)
+        all_toks = [t for part in tok_parts for t in part]
+        codes, uniq = _factorize(all_toks)
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        digs = [md5(t.encode()).digest() for t in uniq]
+        lo_u = np.fromiter((fb(d[:4], "big") for d in digs), np.int64, len(digs))
+        hi_u = np.fromiter((fb(d[4:8], "big") for d in digs), np.int64, len(digs))
+        # (n_uniq, 64) of ±1: bits 0..31 from h_lo, 32..63 from h_hi
+        contrib_u = np.concatenate(
             [
-                ((lo[:, None] >> _SHIFTS) & 1) * 2 - 1,
-                ((hi[:, None] >> _SHIFTS) & 1) * 2 - 1,
+                ((lo_u[:, None] >> _SHIFTS) & 1) * 2 - 1,
+                ((hi_u[:, None] >> _SHIFTS) & 1) * 2 - 1,
             ],
             axis=1,
         )
-        sums = np.add.reduceat(contrib, np.array(starts), axis=0)  # (n_docs, 64)
+        n_docs, n_uniq = len(ids), len(uniq)
+        bounds = starts + [len(codes)]
+        if n_uniq <= _COUNTS_MATMUL_MAX_VOCAB:
+            # small vocabulary: per-doc bit sums = (per-doc token-code
+            # counts) @ contrib_u — 64·n_uniq multiplies per doc instead
+            # of 64 adds per TOKEN; integer-exact (sum of ±1 terms
+            # regrouped by equal token, addition is associative/
+            # commutative over int64)
+            counts = np.stack(
+                [
+                    np.bincount(codes[a:b], minlength=n_uniq)
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ]
+            ).astype(np.int64)
+            sums = counts @ contrib_u  # (n_docs, 64)
+        else:
+            contrib = contrib_u[codes]  # (n_tokens, 64) gather
+            sums = np.add.reduceat(contrib, np.array(starts), axis=0)
         pos_bits = sums > 0
         # positive terms sum to <= 2^63 - 1: no int64 overflow before
         # the final negative sign-bit term
@@ -426,28 +506,22 @@ def simhash_fingerprints(
 
     def gen(batches):
         for pdf in batches:
-            ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
+            ids, tok_parts, starts, pos = [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     # match split(NULL)/unnest(NULL): the doc vanishes
                     # (the old explode-based plan dropped it the same way)
                     continue
                 toks = _toks(text)  # never empty: '' splits to ['']
-                digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
                 ids.append(doc_id)
                 starts.append(pos)
-                lo_parts.append(
-                    np.fromiter((int(d[:8], 16) for d in digs), np.int64, len(digs))
-                )
-                hi_parts.append(
-                    np.fromiter((int(d[8:16], 16) for d in digs), np.int64, len(digs))
-                )
-                pos += len(digs)
+                tok_parts.append(toks)
+                pos += len(toks)
                 if pos >= _TOKEN_CHUNK:
-                    yield flush(ids, lo_parts, hi_parts, starts)
-                    ids, lo_parts, hi_parts, starts, pos = [], [], [], [], 0
+                    yield flush(ids, tok_parts, starts)
+                    ids, tok_parts, starts, pos = [], [], [], 0
             if ids:
-                yield flush(ids, lo_parts, hi_parts, starts)
+                yield flush(ids, tok_parts, starts)
 
     return _doc_rows(docs, min_parallelism).mapInPandas(
         gen, "doc_id long, simhash long"
@@ -470,9 +544,26 @@ def simhash_fingerprints(
 MAX_BUCKET_COLLECT = 256
 
 
-def bucket_pairs(bands: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+def bucket_pairs(
+    bands: DataFrame,
+    key_cols: tuple[str, ...],
+    carry: tuple[str, ...] = (),
+    where=None,
+) -> DataFrame:
     """Unordered (doc_a < doc_b) pairs within identical-key buckets, with
     a skew guard.
+
+    ``carry`` names per-doc payload columns (e.g. the SimHash
+    fingerprint) to ship THROUGH the pair generation as ``<c>_a`` /
+    ``<c>_b`` — a few extra bytes per band row that let the verify
+    stage run map-side on the pair rows instead of joining every pair
+    back against the corpus-cardinality fingerprint frame twice (r15
+    optimization round, guide §2.4/§8: decide with small rows, and
+    audit how decisions re-attach so a join doesn't sneak the shuffle
+    back in). ``where`` is an optional pair-level predicate applied
+    BEFORE the closing distinct — a deterministic per-pair filter
+    commutes with distinct, and filtering first shrinks the distinct's
+    exchange to the surviving pairs.
 
     Small buckets (≤ MAX_BUCKET_COLLECT rows) take the collect_list
     path: one bounded array per bucket, pairs expanded array-side — one
@@ -516,22 +607,42 @@ def bucket_pairs(bands: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     small = tagged.where(F.col("n") <= MAX_BUCKET_COLLECT)
     big = tagged.where(F.col("n") > MAX_BUCKET_COLLECT)
 
-    buckets = small.groupBy(*key_cols).agg(F.collect_list("doc_id").alias("ids"))
+    out_a = [f"{c}_a" for c in carry]
+    out_b = [f"{c}_b" for c in carry]
+    buckets = small.groupBy(*key_cols).agg(
+        F.collect_list(F.struct("doc_id", *carry)).alias("ids")
+    )
     # single F.expr string, not nested F.transform lambdas: the lambda
     # Column trees cost hundreds of py4j round-trips to build (the r5
     # profiling finding); the parsed plan is identical
     small_pairs = buckets.select(
         F.expr(
             "explode(filter(flatten(transform(ids, x -> transform(ids, "
-            "y -> struct(x AS a, y AS b)))), p -> p.a < p.b)) AS p"
+            "y -> struct(x AS a, y AS b)))), p -> p.a.doc_id < p.b.doc_id)) AS p"
         )
-    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+    )
 
-    left = big.select(*key_cols, F.col("doc_id").alias("doc_a"))
-    right = big.select(*key_cols, F.col("doc_id").alias("doc_b"))
+    left = big.select(
+        *key_cols,
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    right = big.select(
+        *key_cols,
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
     big_pairs = (
         left.join(right, list(key_cols))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", *out_a, *out_b)
     )
-    return small_pairs.unionByName(big_pairs).distinct()
+    pairs = small_pairs.unionByName(big_pairs)
+    if where is not None:
+        pairs = pairs.where(where)
+    return pairs.distinct()

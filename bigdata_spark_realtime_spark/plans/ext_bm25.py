@@ -117,8 +117,17 @@ def bm25_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ", -1)
     tok = docs.select("doc_id", F.explode(t).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # r15 optimization (guide §3.2 / §2.3): only the fixed query terms
+    # can survive the qt join below, so drop every other token MAP-SIDE
+    # before the tf/df aggregations — the shuffles then carry matching
+    # tokens only, not the whole corpus token stream. df (distinct docs
+    # per term) is derived from tf's (doc, token) groups instead of a
+    # second pass over the token stream: same value by construction,
+    # one token-stream aggregation instead of two.
+    terms = sorted({term for q in QUERIES.values() for term in q.split(" ")})
+    qtok = tok.where(F.col("token").isin(terms))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     dl = docs.select("doc_id", F.size(t).cast("long").alias("dl"))
     c = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -32,6 +32,7 @@ from bigdata_spark_realtime_spark.plans.ext_funnel import (
     COOC_CAPPED_CTE,
     COOC_MAX_ITEMS_PER_USER,
     _cooc_capped_items,
+    _cooc_capped_pairs,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
@@ -81,14 +82,12 @@ def ext_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round min); labels are exact item ids."""
     ev = load_table(spark, sf_dir, "events")
     capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
-    a = capped.select("user_id", F.col("item").alias("src"))
-    b = capped.select(F.col("user_id").alias("uid_b"), F.col("item").alias("dst"))
+    # array-side within-user pair expansion (no self-join; see
+    # plans/ext_funnel._cooc_capped_pairs, r15 optimization round);
+    # `capped` is passed through so nodes and pairs share one subtree
     edges0 = (
-        a.join(
-            b,
-            (F.col("user_id") == F.col("uid_b")) & (F.col("src") < F.col("dst")),
-        )
-        .select("src", "dst")
+        _cooc_capped_pairs(ev, COOC_MAX_ITEMS_PER_USER, capped=capped)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
     nodes = capped.select("item").distinct()

@@ -168,9 +168,10 @@ def _scored_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     both gates (with lang/source/text carried through, so no join-back
     to documents is ever needed)."""
     import numpy as np
-    import pandas as pd
 
     from bigdata_spark_realtime_spark.operators.shingling import (
+        _factorize,
+        _factorize_pairs,
         _h32_arr,
         _shingle_strs,
         _toks,
@@ -195,27 +196,62 @@ def _scored_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gate(batches):
         b_big, b_uni, b_vocab = bc.value
         for pdf in batches:
-            keep = []
-            for i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
+            # r15: both model stages vectorized over the batch via
+            # factorization (md5/weight/surprise once per DISTINCT
+            # feature, per-doc totals via gather + add.reduceat — the
+            # exact arithmetic of the previous per-row loops, regrouped
+            # by equal feature). Stage 2 (LM) only runs on stage-1
+            # survivors, preserving the staged-gate cost shape.
+            rows, tok_lists = [], []
+            for i, text in enumerate(pdf["text"]):
                 toks = _toks(text)
                 if len(toks) < 2:
                     continue
+                rows.append(i)
+                tok_lists.append(toks)
+            if not rows:
+                continue
+            # stage 1: hashed-feature classifier
+            starts, feat_parts, ns, pos = [], [], [], 0
+            for toks in tok_lists:
                 feats = toks + _shingle_strs(toks, 2)
-                h = _h32_arr(feats) % CLF_BUCKETS
-                total = int(w_arr[h].sum())
-                q = abs(total) // len(feats)
-                clf_score = q if total >= 0 else -q
-                if clf_score < CLF_MIN:
-                    continue
-                lm_total = 0
-                for w1, w2 in zip(toks[:-1], toks[1:]):
-                    lm_total += (b_uni.get(w1, 0) + b_vocab) * SCALE // (
-                        b_big.get((w1, w2), 0) + 1
-                    )
-                if lm_total // (len(toks) - 1) >= MIDDLE_MAX:
-                    continue  # 'tail' bucket
-                keep.append(i)
-            if keep:
+                starts.append(pos)
+                feat_parts.append(feats)
+                ns.append(len(feats))
+                pos += len(feats)
+            all_feats = [f for part in feat_parts for f in part]
+            codes, uniq = _factorize(all_feats)
+            w_u = w_arr[_h32_arr(uniq) % CLF_BUCKETS]
+            totals = np.add.reduceat(w_u[codes], np.array(starts))
+            q = np.abs(totals) // np.array(ns, dtype=np.int64)
+            clf_scores = np.where(totals >= 0, q, -q)
+            pass1 = np.nonzero(clf_scores >= CLF_MIN)[0]
+            if len(pass1) == 0:
+                continue
+            # stage 2: bigram-LM bucket on stage-1 survivors only
+            starts2, pair_parts, ns2, pos2 = [], [], [], 0
+            for j in pass1:
+                toks = tok_lists[j]
+                starts2.append(pos2)
+                pair_parts.append(list(zip(toks[:-1], toks[1:])))
+                ns2.append(len(toks) - 1)
+                pos2 += len(toks) - 1
+            all_pairs = [p for part in pair_parts for p in part]
+            pcodes, puniq = _factorize_pairs(all_pairs)
+            s_u = np.fromiter(
+                (
+                    (b_uni.get(w1, 0) + b_vocab) * SCALE
+                    // (b_big.get((w1, w2), 0) + 1)
+                    for w1, w2 in puniq
+                ),
+                np.int64,
+                len(puniq),
+            )
+            lm_totals = np.add.reduceat(s_u[pcodes], np.array(starts2))
+            lm_means = lm_totals // np.array(ns2, dtype=np.int64)
+            pass2 = pass1[lm_means < MIDDLE_MAX]
+            if len(pass2):
+                keep = [rows[j] for j in pass2]
                 yield pdf.iloc[keep][["doc_id", "lang", "source", "text"]]
 
     sel = corpus.select("doc_id", "lang", "source", "text")
@@ -261,10 +297,12 @@ def ext_curation_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ext_curation_scored",
         keep=2,
     )
+    # min≠max ⇔ ≥2 distinct docs — plain min/max partials instead of a
+    # distinct aggregate (same rewrite as ext_substring, r15 round)
     dup = (
         grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("h")
     )
     drop_ids = (

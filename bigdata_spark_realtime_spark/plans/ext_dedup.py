@@ -461,18 +461,22 @@ def simhash_pairs_from(sh: DataFrame) -> DataFrame:
     of three different bands must still be found). shiftright is
     arithmetic on the signed fingerprint, but the band mask keeps only
     the 16 shifted-in-range bits, so band keys are shift-semantics
-    independent (verified against DuckDB's >> on negative BIGINTs)."""
-    # three consumers (banding + both sides of the hamming verify join);
-    # the cached frame is 2 int64s per doc — cheaper at any scale than
-    # re-running the 64-sum fingerprint aggregation per consumer.
-    # scoped: each invocation evicts the previous one's entry (builders
-    # have no action to unpersist after — the round-7 ADVICE pattern);
-    # callers include the simhash, pHash, and audio-hash pair queries
-    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+    independent (verified against DuckDB's >> on negative BIGINTs).
 
-    scoped_persist(sh, "simhash_pairs_fingerprints", keep=1)
+    r15 optimization: the fingerprint RIDES THROUGH the band rows
+    (bucket_pairs carry=), so the hamming verify is a map-side filter
+    on the pair rows — the previous shape joined every candidate pair
+    back against the fingerprint frame TWICE (broadcast locally, but
+    two corpus-cardinality shuffles at 100 TB where fingerprints
+    outgrow a broadcast). One int64 more per band row buys zero joins
+    and a single-pass pipeline (the fingerprint persist is gone: the
+    kernel output now has exactly one consumer). The hamming filter
+    runs BEFORE the closing distinct — deterministic per pair, so
+    filter∘distinct ≡ distinct∘filter — shrinking the distinct to
+    surviving pairs."""
     bands = sh.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -486,14 +490,9 @@ def simhash_pairs_from(sh: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.b", "bb.key")
-    cand = _bucket_pairs(bands, ("b", "key"))
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .where(hamming <= HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    ).select("doc_id", "simhash", "bb.b", "bb.key")
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    cand = _bucket_pairs(
+        bands, ("b", "key"), carry=("simhash",), where=hamming <= HAMMING_MAX
     )
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))

@@ -233,6 +233,34 @@ def _cooc_capped_items(ev: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _cooc_capped_pairs(
+    ev: DataFrame, cap: int, capped: DataFrame | None = None
+) -> DataFrame:
+    """(user_id, item_a, item_b) — every unordered within-user pair of
+    the quota-capped item set, expanded ARRAY-SIDE (r15 optimization
+    round, guide §2.4): collect_list per user reuses the quota window's
+    hashpartitioning(user_id) — no exchange — and the pair expansion is
+    a per-row array transform, so the previous self-join (which scanned
+    the capped subtree twice and, at scale, either broadcast the whole
+    capped set or sort-merge-shuffled it again) disappears outright.
+    The per-user array is bounded by the quota (≤ cap items → ≤
+    C(cap, 2) ≈ 33k pairs), the same bound the join path had.
+    ``capped`` lets a caller that also consumes the capped set itself
+    (ext_item_communities' nodes) share one frame."""
+    if capped is None:
+        capped = _cooc_capped_items(ev, cap)
+    lists = capped.groupBy("user_id").agg(F.collect_list("item").alias("items"))
+    return lists.select(
+        "user_id",
+        F.expr(
+            "explode(filter(flatten(transform(items, x -> transform(items, "
+            "y -> struct(x AS a, y AS b)))), p -> p.a < p.b)) AS p"
+        ),
+    ).select(
+        "user_id", F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
+    )
+
+
 @register("ext_item_cooccurrence", oracle=COOC_ORACLE)
 def ext_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item co-occurrence counts — the collaborative-filtering /
@@ -241,30 +269,21 @@ def ext_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     users interacted with both.
 
     Scale (100 TB): distinct (user, item) happens once (one shuffle
-    with map-side partials), then the pair expansion is a self
-    equi-join ON THE USER KEY — pairs only ever materialize within a
-    user's own item set. That bound is quadratic in per-user item
-    cardinality, which AQE's skew split cannot cap (it splits
-    partitions, not the per-key blow-up), so the quota window above
-    (`COOC_MAX_ITEMS_PER_USER`, deterministic hash order) hard-bounds
-    any single user's contribution — the declared contract, mirrored in
-    the oracle and stress-tested with an adversarial power user in
-    tests/test_funnel_retention.py. The quota window itself shuffles
-    once on user_id with per-user-cardinality sort state; the final
-    (item_a, item_b) count groupBy runs on item-pair-cardinality
-    rows."""
+    with map-side partials), then pairs expand ARRAY-SIDE per user
+    (`_cooc_capped_pairs`) — pairs only ever materialize within a
+    user's own item set and the expansion adds NO exchange (the
+    collect_list reuses the quota window's user_id partitioning). The
+    per-user blow-up is quadratic in item cardinality, which AQE's
+    skew split cannot cap (it splits partitions, not the per-key
+    blow-up), so the quota window (`COOC_MAX_ITEMS_PER_USER`,
+    deterministic hash order) hard-bounds any single user's
+    contribution — the declared contract, mirrored in the oracle and
+    stress-tested with an adversarial power user in
+    tests/test_funnel_retention.py. The final (item_a, item_b) count
+    groupBy runs on item-pair-cardinality rows."""
     ev = load_table(spark, sf_dir, "events")
-    capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
-    a = capped.select("user_id", F.col("item").alias("item_a"))
-    b = capped.select(
-        F.col("user_id").alias("uid_b"), F.col("item").alias("item_b")
-    )
     return (
-        a.join(
-            b,
-            (F.col("user_id") == F.col("uid_b"))
-            & (F.col("item_a") < F.col("item_b")),
-        )
+        _cooc_capped_pairs(ev, COOC_MAX_ITEMS_PER_USER)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

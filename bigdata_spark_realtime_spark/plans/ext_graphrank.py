@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from bigdata_spark_realtime_spark.plans.ext_funnel import (
     COOC_CAPPED_CTE,
-    _cooc_capped_items,
+    _cooc_capped_pairs,
     COOC_MAX_ITEMS_PER_USER,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
@@ -88,18 +88,11 @@ def ext_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-visitation item graph built from the quota-capped (user, item)
     set."""
     ev = load_table(spark, sf_dir, "events")
-    capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
-    a = capped.select("user_id", F.col("item").alias("src"))
-    b = capped.select(
-        F.col("user_id").alias("uid_b"), F.col("item").alias("dst")
-    )
+    # array-side within-user pair expansion (no self-join; see
+    # plans/ext_funnel._cooc_capped_pairs, r15 optimization round)
     edges0 = (
-        a.join(
-            b,
-            (F.col("user_id") == F.col("uid_b"))
-            & (F.col("src") < F.col("dst")),
-        )
-        .select("src", "dst")
+        _cooc_capped_pairs(ev, COOC_MAX_ITEMS_PER_USER)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
     edges = edges0.unionByName(

@@ -33,7 +33,7 @@ from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
 from bigdata_spark_realtime_spark.plans.ext_funnel import (
     COOC_CAPPED_CTE,
     COOC_MAX_ITEMS_PER_USER,
-    _cooc_capped_items,
+    _cooc_capped_pairs,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
 from bigdata_spark_realtime_spark.sources.tables import load_table
@@ -90,15 +90,11 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     with it the self-join blow-up) is O(√edges) instead of the raw hub
     degree."""
     ev = load_table(spark, sf_dir, "events")
-    capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
-    a = capped.select("user_id", F.col("item").alias("src"))
-    b = capped.select(F.col("user_id").alias("uid_b"), F.col("item").alias("dst"))
+    # array-side within-user pair expansion (no self-join; see
+    # plans/ext_funnel._cooc_capped_pairs, r15 optimization round)
     edges0 = (
-        a.join(
-            b,
-            (F.col("user_id") == F.col("uid_b")) & (F.col("src") < F.col("dst")),
-        )
-        .select("src", "dst")
+        _cooc_capped_pairs(ev, COOC_MAX_ITEMS_PER_USER)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
     und = edges0.unionByName(

@@ -214,9 +214,13 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the earlier broadcast-join form measured 2.0 s vs ~0.5 s at sf0.1
     because it exploded the corpus to 265k pair rows, shuffled them
     into the final per-doc aggregation, and paid three joins."""
+    import numpy as np
     import pandas as pd
 
-    from bigdata_spark_realtime_spark.operators.shingling import _toks
+    from bigdata_spark_realtime_spark.operators.shingling import (
+        _factorize_pairs,
+        _toks,
+    )
 
     big, uni, vocab = train_lm(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -225,23 +229,37 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches):
         b_big, b_uni, b_vocab = bc.value
         for pdf in batches:
-            ids, ns, scores = [], [], []
+            ids, ns, starts, pair_parts, pos = [], [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = _toks(text)
                 if len(toks) < 2:
                     continue
-                total = 0
-                for w1, w2 in zip(toks[:-1], toks[1:]):
-                    # exact integer arithmetic, identical to the SQL:
-                    # (c1 + V) * SCALE DIV (c12 + 1)
-                    total += (b_uni.get(w1, 0) + b_vocab) * SCALE // (
-                        b_big.get((w1, w2), 0) + 1
-                    )
                 ids.append(doc_id)
                 ns.append(len(toks) - 1)
-                scores.append(total // (len(toks) - 1))
+                starts.append(pos)
+                pair_parts.append(list(zip(toks[:-1], toks[1:])))
+                pos += len(toks) - 1
             if not ids:
                 continue
+            # r15: bigrams factorized across the batch — the smoothed-
+            # surprise arithmetic and both dict lookups run once per
+            # DISTINCT pair; per-doc totals are one gather +
+            # add.reduceat. Exact integer arithmetic, identical to the
+            # SQL: (c1 + V) * SCALE DIV (c12 + 1); the int64 total
+            # domain matches the SQL form's BIGINT sum.
+            all_pairs = [p for part in pair_parts for p in part]
+            codes, uniq = _factorize_pairs(all_pairs)
+            s_u = np.fromiter(
+                (
+                    (b_uni.get(w1, 0) + b_vocab) * SCALE
+                    // (b_big.get((w1, w2), 0) + 1)
+                    for w1, w2 in uniq
+                ),
+                np.int64,
+                len(uniq),
+            )
+            totals = np.add.reduceat(s_u[codes], np.array(starts))
+            scores = totals // np.array(ns, dtype=np.int64)
             yield pd.DataFrame(
                 {"doc_id": ids, "n_bigrams": ns, "lm_score": scores}
             )

@@ -377,6 +377,7 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from bigdata_spark_realtime_spark.operators.shingling import (
+        _factorize,
         _h32_arr,
         _shingle_strs,
         _toks,
@@ -387,7 +388,7 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
-            ids, ns, scores = [], [], []
+            ids, ns, starts, feat_parts, pos = [], [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     # dropped, matching the oracle's WHERE text IS NOT
@@ -396,17 +397,27 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 toks = _toks(text)
                 feats = toks + (_shingle_strs(toks, 2) if len(toks) >= 2 else [])
-                h = _h32_arr(feats) % CLF_BUCKETS
-                total = int(w_arr[h].sum())
                 ids.append(doc_id)
                 ns.append(len(feats))
-                # DuckDB's // TRUNCATES toward zero (-7 // 2 = -3) while
-                # Python's floors (-4); totals can be negative, so match
-                # the SQL by truncating
-                q = abs(total) // len(feats)
-                scores.append(q if total >= 0 else -q)
+                starts.append(pos)
+                feat_parts.append(feats)
+                pos += len(feats)
             if not ids:
                 continue
+            # r15: features factorized across the batch — md5 and the
+            # weight lookup run once per DISTINCT feature, per-doc
+            # totals are one gather + add.reduceat (sum of the same
+            # int64 terms regrouped by equal feature — exact)
+            all_feats = [f for part in feat_parts for f in part]
+            codes, uniq = _factorize(all_feats)
+            w_u = w_arr[_h32_arr(uniq) % CLF_BUCKETS]
+            totals = np.add.reduceat(w_u[codes], np.array(starts))
+            ns_arr = np.array(ns, dtype=np.int64)
+            # DuckDB's // TRUNCATES toward zero (-7 // 2 = -3) while
+            # Python/numpy floor; totals can be negative, so match the
+            # SQL by truncating on the absolute value
+            q = np.abs(totals) // ns_arr
+            scores = np.where(totals >= 0, q, -q)
             yield pd.DataFrame(
                 {"doc_id": ids, "n_features": ns, "clf_score": scores}
             )

@@ -34,7 +34,6 @@ from bigdata_spark_realtime_spark.plans.ext_dedup import (
     simhash_pairs_from,
 )
 from bigdata_spark_realtime_spark.plans.registry import register
-from bigdata_spark_realtime_spark.sources.tables import load_table
 
 #: split quota out of 100: <90 train, <95 valid, else test
 TRAIN_LT = 90
@@ -78,20 +77,20 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair counts per (split, split) cell under the
     deterministic 90/5/5 hash split; off-diagonal cells are eval
     leakage."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the split label is a PURE hash of doc_id (split_col), and every
+    # pair endpoint is by construction a documents row — so the oracle's
+    # sp joins never drop or change anything. Computing the labels
+    # map-side ON the pair rows removes two corpus-cardinality joins
+    # (and the second documents scan) from the plan outright
+    # (guide §2.4: remove shuffles; r15 optimization round)
     pairs = simhash_pairs_from(ext_dedup_simhash(spark, sf_dir)).select(
         "doc_a", "doc_b"
     )
-    sp = docs.select("doc_id", split_col(F.col("doc_id")).alias("split"))
-    sa = sp.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
-    )
-    sb = sp.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
-    )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.select(
+            split_col(F.col("doc_a")).alias("sa"),
+            split_col(F.col("doc_b")).alias("sb"),
+        )
         .groupBy(
             F.least("sa", "sb").alias("split_a"),
             F.greatest("sa", "sb").alias("split_b"),

@@ -103,10 +103,14 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
 
     grams = scoped_persist(_window_hashes(docs), "ext_dedup_substring", keep=1)
+    # "h occurs in ≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): two
+    # plain int64 min/max states with full map-side partials instead of
+    # a distinct aggregate's two-phase (h, doc_id) expansion (r15
+    # optimization round, guide §2.3 — aggregate before you shuffle)
     dup = (
         grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("h")
     )
     per_doc = (

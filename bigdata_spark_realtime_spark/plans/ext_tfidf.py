@@ -79,7 +79,12 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # df = distinct docs per token = one row per (doc, token) group of
+    # tf: deriving it from tf replaces the second full token-stream
+    # shuffle (with its distinct expansion) by an aggregation over the
+    # already-reduced tf rows (r15 optimization round, guide §2.3); the
+    # shared tf subtree is one exchange, reused by both consumers
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")

@@ -64,9 +64,19 @@ def main() -> int:
         def toPandas(self):
             return self._pdf
 
+    # optional subset: comma-separated query names (r15 tooling — lets a
+    # change's blast radius be re-verified in seconds instead of a full
+    # sweep; the per-round gate still runs the unfiltered sweep)
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_SWEEP_ONLY", "").split(",") if n
+    }
     problems = []
     t0 = time.time()
+    checked = 0
     for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        checked += 1
         try:
             got = fn(spark, SWEEP_DIR).toPandas()
         except Exception as ex:  # noqa: BLE001 — report and continue
@@ -80,8 +90,8 @@ def main() -> int:
             problems.append((name, f"MISMATCH {ex}"))
         except Exception as ex:  # noqa: BLE001
             problems.append((name, f"ORACLE-ERROR {type(ex).__name__}: {ex}"))
-    print(f"swept {len(oracles)} oracled queries at {SWEEP_DIR} "
-          f"in {time.time() - t0:.0f}s")
+    print(f"swept {checked if only else len(oracles)} oracled queries "
+          f"at {SWEEP_DIR} in {time.time() - t0:.0f}s")
     for name, why in problems:
         print(f"PROBLEM {name}: {why}")
     if not problems:
