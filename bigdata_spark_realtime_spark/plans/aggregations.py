@@ -88,20 +88,23 @@ FROM events WHERE {fns.dt_sql('ts')} = CAST(DATE '{TD}' - 1 AS VARCHAR) GROUP BY
 @register("a3_day_over_day", oracle=A3_ORACLE)
 def a3_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-
-    def hourly(day: str, kind: str) -> DataFrame:
-        return (
-            ev.where(fns.dt_col("ts") == day)
-            .groupBy(fns.hr_col("ts").alias("hr"))
-            .agg(F.count(F.lit(1)).alias("ct"))
-            .select(F.lit(kind).alias("kind"), "hr", "ct")
-        )
-
     # yesterday resolved literally (deterministic, no current_date — F7)
     import datetime
 
     yd_str = (datetime.date.fromisoformat(TD) - datetime.timedelta(days=1)).isoformat()
-    return hourly(TD, "td").unionByName(hourly(yd_str, "yd"))
+    # r15 optimization: ONE scan + one (kind, hr) aggregation — the
+    # per-day union form scanned events twice; the two day filters are
+    # disjoint, so a CASE label over the combined filter yields the
+    # identical row multiset
+    dt = fns.dt_col("ts")
+    return (
+        ev.where(dt.isin(TD, yd_str))
+        .groupBy(
+            F.when(dt == TD, "td").otherwise("yd").alias("kind"),
+            fns.hr_col("ts").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
 
 
 # ---------------------------------------------------------------------------

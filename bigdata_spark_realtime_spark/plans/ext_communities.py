@@ -81,7 +81,13 @@ def ext_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-visitation graph (self-loops fold label retention into the
     per-round min); labels are exact item ids."""
     ev = load_table(spark, sf_dir, "events")
-    capped = _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER)
+    # capped feeds BOTH the pair expansion and the nodes distinct —
+    # persist it so the quota window runs once (r15; 2 int64s per row)
+    capped = scoped_persist(
+        _cooc_capped_items(ev, COOC_MAX_ITEMS_PER_USER),
+        "communities_edges",
+        keep=2,
+    )
     # array-side within-user pair expansion (no self-join; see
     # plans/ext_funnel._cooc_capped_pairs, r15 optimization round);
     # `capped` is passed through so nodes and pairs share one subtree
@@ -91,15 +97,28 @@ def ext_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nodes = capped.select("item").distinct()
+    # both directions in one explode pass over edges0 (the union form
+    # scanned the distinct-pair subtree twice — r15); self-loops ride
+    # in from the nodes frame as before
     und_self = (
-        edges0.unionByName(
-            edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .unionByName(
             nodes.select(F.col("item").alias("src"), F.col("item").alias("dst"))
         )
     )
-    und_self = scoped_persist(und_self, "communities_edges", keep=1)
+    # keep=2: this invocation registers TWO frames in the scope (capped
+    # above and und_self), both alive for the whole 3-round loop
+    und_self = scoped_persist(und_self, "communities_edges", keep=2)
     lbl = nodes.select("item", F.col("item").alias("lbl"))
     for _ in range(N_ROUNDS):
         lbl = (

@@ -99,15 +99,23 @@ def ext_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = sess.groupBy("user_id", "session_id").agg(
         F.min("t_ms").alias("st"), F.max("t_ms").alias("en")
     )
+    # both boundaries in ONE pass over the session intervals — the
+    # union form re-ran the whole sessionize window + interval groupBy
+    # per boundary sign (r15 optimization round, guide §2.4)
     bnd = iv.select(
-        "user_id", "session_id", F.col("st").alias("t_ms"), F.lit(1).alias("delta")
-    ).unionByName(
-        iv.select(
-            "user_id",
-            "session_id",
-            F.col("en").alias("t_ms"),
-            F.lit(-1).alias("delta"),
-        )
+        "user_id",
+        "session_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("t_ms"), F.lit(1).alias("delta")),
+                F.struct(F.col("en").alias("t_ms"), F.lit(-1).alias("delta")),
+            )
+        ).alias("bd"),
+    ).select(
+        "user_id",
+        "session_id",
+        "bd.t_ms",
+        "bd.delta",
     ).withColumn("hr_bucket", F.expr("t_ms div 3600000"))
     # per-hour totals: calendar-bounded — the global window below runs
     # on ≤ #hours rows, never on boundary rows

@@ -84,17 +84,27 @@ def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    s1 = (
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    # s1 has three consumers (its own step row, the s2 join, the done
+    # join) and s2 two (step row, s3 join) — persist both (user-
+    # cardinality, 2 int64s/row) so each step's event scan + min-agg
+    # runs once instead of once per consumer (r15 optimization round)
+    s1 = scoped_persist(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("us").alias("t1"))
+        .agg(F.min("us").alias("t1")),
+        "funnel_steps",
+        keep=2,
     )
-    s2 = (
+    s2 = scoped_persist(
         ev.where(F.col("event_type") == "click")
         .join(s1, "user_id")
         .where(F.col("us") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("us").alias("t2"))
+        .agg(F.min("us").alias("t2")),
+        "funnel_steps",
+        keep=2,
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")

@@ -95,9 +95,17 @@ def ext_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
-    edges = edges0.unionByName(
-        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both directions in ONE pass over edges0 (explode of a 2-struct
+    # array) — the union form scanned the distinct-pair subtree twice
+    # (r15 optimization round)
+    edges = edges0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # edges joins once per iteration and deg twice (degree division +
     # the contrib join): without a persist the quota window + pair
     # expansion replay for EVERY consumer — 188 exchanges in the k=3

@@ -97,9 +97,18 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         .distinct()
     )
-    und = edges0.unionByName(
-        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # edges0 feeds BOTH the degree table (via und) and the orientation
+    # join — persist it so the pair expansion + distinct run once
+    # (r15; the und union itself is now a single explode pass)
+    edges0 = scoped_persist(edges0, "tri_graph", keep=3)
+    und = edges0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = und.groupBy(F.col("src").alias("item")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -108,7 +117,7 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # legs of the triangle join — persist both reused frames so the
     # quota window + pair expansion don't replay per consumer (the
     # PageRank lesson: 188 → ~20 exchanges)
-    deg = scoped_persist(deg, "tri_graph", keep=2)
+    deg = scoped_persist(deg, "tri_graph", keep=3)
     da = deg.select(F.col("item").alias("src"), F.col("d").alias("da"))
     db = deg.select(F.col("item").alias("dst"), F.col("d").alias("db"))
     low_first = (F.col("da") < F.col("db")) | (
@@ -123,7 +132,7 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
     )
-    fwd = scoped_persist(fwd, "tri_graph", keep=2)
+    fwd = scoped_persist(fwd, "tri_graph", keep=3)
     e1 = fwd.select(
         F.col("u").alias("u1"), F.col("v").alias("y"), F.col("dv").alias("dy")
     )
@@ -142,10 +151,10 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wed.join(closing, ["y", "z"]).select(
         F.col("u1").alias("x"), "y", "z"
     )
+    # all three corners in ONE pass over the triangle rows — the union
+    # form re-ran the wedge join per corner (r15 optimization round)
     per_item = (
-        tri.select(F.col("x").alias("item"))
-        .unionByName(tri.select(F.col("y").alias("item")))
-        .unionByName(tri.select(F.col("z").alias("item")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )

@@ -81,24 +81,35 @@ def _dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("serving_dau_realtime", oracle=DAU_REALTIME_ORACLE)
 def serving_dau_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # three branches over a two-day slice: recompute beats cache
-    # materialization at every scale (the dt filter prunes the scan)
+    # r15 optimization: the previous three branches each re-ran the
+    # window dedup (scan + (dt, user) exchange ×3). One dedup, one
+    # (dt, hr) aggregation; both hourly kinds are a label over it and
+    # the total is the sum of today's hour partials (hour-cardinality
+    # rows, persisted) — coalesce keeps the guaranteed 1-row total on
+    # an empty today, exactly like the old count() on zero rows.
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
     dau = _dau(spark, sf_dir)
-    total = (
-        dau.where(F.col("dt") == TD)
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .select(F.lit("total").alias("kind"), F.lit(None).cast("string").alias("hr"), "ct")
+    hourly2 = scoped_persist(
+        dau.groupBy("dt", "hr").agg(F.count(F.lit(1)).alias("ct")),
+        "serving_dau_realtime",
+        keep=1,
     )
-
-    def hourly(day: str, kind: str) -> DataFrame:
-        return (
-            dau.where(F.col("dt") == day)
-            .groupBy("hr")
-            .agg(F.count(F.lit(1)).alias("ct"))
-            .select(F.lit(kind).alias("kind"), "hr", "ct")
+    total = (
+        hourly2.where(F.col("dt") == TD)
+        .agg(F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("ct"))
+        .select(
+            F.lit("total").alias("kind"),
+            F.lit(None).cast("string").alias("hr"),
+            "ct",
         )
-
-    return total.unionByName(hourly(TD, "td")).unionByName(hourly(_YD, "yd"))
+    )
+    kinds = hourly2.select(
+        F.when(F.col("dt") == TD, "td").otherwise("yd").alias("kind"),
+        "hr",
+        "ct",
+    )
+    return total.unionByName(kinds)
 
 
 # ---------------------------------------------------------------------------
