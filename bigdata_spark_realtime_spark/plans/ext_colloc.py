@@ -87,10 +87,17 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K bigrams by quantized lift with a min-count floor."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ", -1).alias("t"))
-    uni = (
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    # uni has three consumers (the corpus-total agg and both sides of
+    # the lift join) — persist the vocabulary-sized counts so the token
+    # explode + groupBy runs once per invocation (r15)
+    uni = scoped_persist(
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw")),
+        "ext_bigram_pmi",
+        keep=1,
     )
     n = uni.agg(F.sum("cw").cast("bigint").alias("n_tokens"))
     # adjacent pairs map-side: zip the array against its own tail

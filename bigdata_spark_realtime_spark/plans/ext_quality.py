@@ -247,6 +247,13 @@ def ext_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= DUP_3GRAM_MAX
         )
     ).select("doc_id", "lang", "source", "text")
+    # kept feeds BOTH the contamination shingle kernel and the anti-join
+    # tail — persist it so the repetition-metrics Arrow kernel runs once
+    # per invocation, not once per consumer (r15; same policy and
+    # spill-not-OOM argument as ext_curation_scored's surv1 persist)
+    from bigdata_spark_realtime_spark.plans.corpus import scoped_persist
+
+    kept = scoped_persist(kept, "ext_curation_full", keep=1)
     ev_shingles = shingle_rows(ev, CONTAM_W).select("shingle").distinct()
     contam_ids = (
         shingle_rows(kept, CONTAM_W)
