@@ -444,6 +444,15 @@ def repetition_metrics(
 #: gather + reduceat path instead (adaptive, both integer-exact)
 _COUNTS_MATMUL_MAX_VOCAB = 2048
 
+#: ... and on TOTAL matrix cells (r15 ADVICE): a 2^16-token chunk of
+#: very short docs can reach ~65536 docs, so gating on vocabulary alone
+#: would let the dense (n_docs × n_uniq) int64 counts matrix grow to
+#: ~1 GiB per task (65536 × 2048 × 8 B) — far above the ~34 MB chunk
+#: transient the _TOKEN_CHUNK bound documents, and multiplied by every
+#: concurrent task. 4M cells caps the counts matrix at 32 MB; chunks
+#: above it take the gather + reduceat path (both integer-exact).
+_COUNTS_MATMUL_MAX_CELLS = 4 << 20
+
 _SHIFTS = np.arange(32, dtype=np.int64)
 _COMBINE_W = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
 _SIGN_BIT = np.int64(-9223372036854775807 - 1)  # -2^63 (two's complement)
@@ -481,7 +490,10 @@ def simhash_fingerprints(
         )
         n_docs, n_uniq = len(ids), len(uniq)
         bounds = starts + [len(codes)]
-        if n_uniq <= _COUNTS_MATMUL_MAX_VOCAB:
+        if (
+            n_uniq <= _COUNTS_MATMUL_MAX_VOCAB
+            and n_docs * n_uniq <= _COUNTS_MATMUL_MAX_CELLS
+        ):
             # small vocabulary: per-doc bit sums = (per-doc token-code
             # counts) @ contrib_u — 64·n_uniq multiplies per doc instead
             # of 64 adds per TOKEN; integer-exact (sum of ±1 terms
@@ -564,6 +576,16 @@ def bucket_pairs(
     BEFORE the closing distinct — a deterministic per-pair filter
     commutes with distinct, and filtering first shrinks the distinct's
     exchange to the surviving pairs.
+
+    CONTRACT (r15 ADVICE): every ``carry`` column must be functionally
+    determined by ``doc_id`` — one value per doc, identical on every
+    band row. The closing ``distinct()`` includes the carried payload
+    columns, so cross-band pair dedup collapses a pair's band rows into
+    one row ONLY when their carries agree; a carry that varies per band
+    row (non-deterministic, or derived from the band key) would
+    silently emit duplicate pairs. All current callers carry per-doc
+    fingerprints (simhash/phash/audiohash), which satisfy this by
+    construction.
 
     Small buckets (≤ MAX_BUCKET_COLLECT rows) take the collect_list
     path: one bounded array per bucket, pairs expanded array-side — one

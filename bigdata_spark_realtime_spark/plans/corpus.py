@@ -96,3 +96,57 @@ def scoped_persist(df: DataFrame, scope: str, keep: int = 2) -> DataFrame:
         frames.pop(0).unpersist()
     frames.append(df.persist())
     return df
+
+
+#: persist-vs-recompute break-even (bytes of source input). Below this,
+#: the source table is page-cache resident and re-planning the subtree
+#: is cheaper than a cache materialization + block-manager round-trip
+#: (guide §5: persist only when recomputing costs more than the memory
+#: pressure/overhead caching creates — measured at sf0.1 in round 16:
+#: persisting bm25's 0.6 MB-source projections cost +0.7 s/query).
+#: Deliberately keyed on INPUT SIZE, not core count or a local tune:
+#: any 100 TB table passes the gate on any cluster, every test SF stays
+#: on the recompute path, and the env override exists for odd hosts.
+PERSIST_MIN_INPUT_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_PERSIST_MIN_INPUT_BYTES", str(64 << 20)
+    )
+)
+
+
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """Best-effort on-disk size of a table under ``sf_dir``; unknown
+    layouts (directories of parts, object stores) count as LARGE so the
+    scale path — persist — is the default when we cannot prove small."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62
+
+
+def scoped_persist_if_large(
+    df: DataFrame,
+    scope: str,
+    sf_dir: str,
+    table: str = "documents",
+    keep: int = 2,
+) -> DataFrame:
+    """:func:`scoped_persist` gated on the SOURCE table's size: persist
+    shared subtrees when the input is big enough that a re-scan costs
+    more than the materialization (the 100 TB case — one decode of the
+    heavy column instead of one per consumer), skip the persist when
+    the whole table is page-cache small and recompute is free. The
+    caller's plan SHAPE is identical either way; only the number of
+    physical source scans differs."""
+    if _input_bytes(sf_dir, table) >= PERSIST_MIN_INPUT_BYTES:
+        return scoped_persist(df, scope, keep=keep)
+    return df

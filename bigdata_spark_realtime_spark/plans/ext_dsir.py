@@ -153,18 +153,32 @@ def train_dsir(spark: SparkSession, sf_dir: str):
         < TARGET_PCT
     )
 
+    from bigdata_spark_realtime_spark.operators.shingling import _factorize
+
     def census(batches):
+        # r16: factorized like the classifier/LM kernels (guide §4.2) —
+        # md5 once per DISTINCT feature in the batch, bucket counts via
+        # two whole-batch bincounts instead of one 4096-slot bincount
+        # per document. Identical counts: bincount over the gathered
+        # codes regroups the same +1 terms by equal bucket.
         for pdf in batches:
-            raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
-            tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+            feat_parts, ns, flags = [], [], []
             for text, is_t in zip(pdf["text"], pdf["in_t"]):
                 toks = _toks(text)
                 feats = toks + _shingle_strs(toks, 2)
-                bs = _h32_arr(feats) % DSIR_BUCKETS
-                counts = np.bincount(bs, minlength=DSIR_BUCKETS)
-                raw += counts
-                if is_t:
-                    tgt += counts
+                feat_parts.append(feats)
+                ns.append(len(feats))
+                flags.append(bool(is_t))
+            all_feats = [f for part in feat_parts for f in part]
+            if not all_feats:
+                continue
+            codes, uniq = _factorize(all_feats)
+            bs_all = (_h32_arr(uniq) % DSIR_BUCKETS)[codes]
+            raw = np.bincount(bs_all, minlength=DSIR_BUCKETS)
+            in_t_mask = np.repeat(
+                np.array(flags, dtype=bool), np.array(ns, dtype=np.int64)
+            )
+            tgt = np.bincount(bs_all[in_t_mask], minlength=DSIR_BUCKETS)
             nz = np.nonzero(raw)[0]
             if nz.size:
                 yield pd.DataFrame(
@@ -215,24 +229,41 @@ def make_score_kernel(ratio_bc):
     )
 
     def score(batches):
+        import numpy as np
+
+        from bigdata_spark_realtime_spark.operators.shingling import _factorize
+
         b_ratio = ratio_bc.value
+        # r16: factorized (guide §4.2) — md5 + ratio lookup once per
+        # DISTINCT feature in the batch, per-doc totals via gather +
+        # add.reduceat. Exact: the reduceat segments sum the same int64
+        # ratio terms the per-row loop summed (ratio ≤ SCALE·(tr+B)/
+        # (tt+B) ≈ 10·SCALE and docs are ~10² features, so per-doc
+        # totals sit ~5 orders of magnitude inside int64).
         for pdf in batches:
-            ids, ns, ws = [], [], []
+            ids, starts, feat_parts, ns, pos = [], [], [], [], 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue  # dropped, matching WHERE text IS NOT NULL
                 toks = _toks(text)
                 feats = toks + _shingle_strs(toks, 2)
-                bs = _h32_arr(feats) % DSIR_BUCKETS
                 ids.append(doc_id)
+                starts.append(pos)
+                feat_parts.append(feats)
                 ns.append(len(feats))
-                ws.append(int(b_ratio[bs].sum()) // len(feats))
+                pos += len(feats)
             if not ids:
                 continue
+            all_feats = [f for part in feat_parts for f in part]
+            codes, uniq = _factorize(all_feats)
+            r_u = b_ratio[_h32_arr(uniq) % DSIR_BUCKETS]
+            totals = np.add.reduceat(r_u[codes], np.array(starts))
+            ns_arr = np.array(ns, dtype=np.int64)
+            ws = totals // ns_arr
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "n_feats": pd.Series(ns, dtype="int64"),
+                    "n_feats": pd.Series(ns_arr, dtype="int64"),
                     "dsir_weight": pd.Series(ws, dtype="int64"),
                 }
             )
